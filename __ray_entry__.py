@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code it calls) calls ``ray.init`` /
+``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship record-linkage pipeline (documents → interleaved
+  span docs → blocking → siamese scoring → transitive clustering) on
+  sf0.001.
+- ``queries()``: one entry per implemented operator family (SURVEY.md §2
+  + the training-data-pipeline extras: dedup, ANN, text analysis).
+- ``oracle_sql()``: DuckDB equivalents for every SQL-expressible entry;
+  model-based / probabilistic entries are rows-only by design (GRU
+  scoring, MinHash/SimHash banding, IVF probing have no ANSI-SQL
+  equivalent).
 """
 
 from __future__ import annotations
@@ -19,26 +21,208 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _cluster_documents(sf_dir: str) -> Any:
+    """documents → interleaved span docs → join-text extraction →
+    MinHash-blocked near-dup clustering (the long-document flagship;
+    the short-string/name linkage path runs in pytest + bench over the
+    synthetic toponym spans corpus where it is semantically right)."""
+    import ray.data
+
+    from deezymatch_ray.pipelines.linkage import cluster_near_dup_documents
+    from deezymatch_ray.sources.spans import add_join_text, flat_docs_to_spans
+
+    docs = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(flat_docs_to_spans, batch_format="pyarrow")
+        .map_batches(add_join_text, batch_format="pyarrow")
+        .select_columns(["doc_id", "join_text"])
+    )
+    return cluster_near_dup_documents(docs, text_col="join_text")
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: cluster the sf0.001 documents table end-to-end."""
+    return _cluster_documents("/root/testdata/sf0.001")
+
+
+def _q_rank_part_names(sf_dir: str) -> Any:
+    """Candidate ranking (reference candidate_ranker semantics) over the
+    driver's part names: queries = p_partkey < 30, candidates = all."""
+    import dataclasses
+
+    import ray.data
+
+    from deezymatch_ray.pipelines.linkage import (
+        get_or_train_default_model,
+        load_model_artifacts,
+    )
+    from deezymatch_ray.stages.ranking import rank_global
+
+    weights_ref, vocab_ref, meta, cfg = load_model_artifacts(
+        get_or_train_default_model()
+    )
+    cfg = cfg.replace(
+        ranking=dataclasses.replace(
+            cfg.ranking, ranking_metric="faiss", selection_threshold=1e9,
+            num_candidates=5,
+        )
+    )
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+
+    def to_str_ids(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "id": pc.cast(batch["p_partkey"], pa.string()),
+            "name": batch["p_name"],
+        })
+
+    cands = parts.map_batches(to_str_ids, batch_format="pyarrow")
+    queries = parts.filter(expr="p_partkey < 30").map_batches(
+        to_str_ids, batch_format="pyarrow"
+    )
+    return rank_global(queries, cands, cfg, weights_ref, vocab_ref, meta)
+
+
+def _q_link_clusters(sf_dir: str) -> Any:
+    return _cluster_documents(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from deezymatch_ray.pipelines import analysis as A
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference text kernels / splits / counts
+        "normalize": A.q_normalize,
+        "token_counts": A.q_token_counts,
+        "text_stats": A.q_text_stats,
+        "fingerprints": A.q_fingerprints,
+        "lang_id": A.q_lang_id,
+        "split_assign": A.q_split_assign,
+        "label_counts": A.q_label_counts,
+        # dedup family
+        "exact_dedup": A.q_exact_dedup,
+        "jaccard_near_dup": A.q_jaccard_near_dup,
+        "minhash_near_dup": A.q_minhash_near_dup,
+        "simhash": A.q_simhash,
+        "simhash_near_dup": A.q_simhash_near_dup,
+        "embedding_near_dup": A.q_embedding_near_dup,
+        # similarity search
+        "ann_topk": A.q_ann_topk,
+        "ann_ivf_topk": A.q_ann_ivf_topk,
+        # classical pairwise scoring / per-query top-k
+        "similar_supplier_names": A.q_similar_supplier_names,
+        "rank_by_levenshtein": A.q_rank_by_levenshtein,
+        # relational coverage (aggregate / join / sort / window)
+        "pricing_summary": A.q_pricing_summary,
+        "top_customers": A.q_top_customers,
+        "events_hourly": A.q_events_hourly,
+        "nation_balance": A.q_nation_balance,
+        # model-based pipelines (rows-only checks)
+        "rank_part_names": _q_rank_part_names,
+        "link_clusters": _q_link_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "normalize": (
+            "SELECT doc_id, lower(trim(text)) AS norm_text FROM documents"
+        ),
+        "token_counts": (
+            "SELECT t AS token, count(*) AS n FROM ("
+            "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t "
+            "FROM documents) GROUP BY t"
+        ),
+        "text_stats": (
+            "WITH w AS (SELECT doc_id, length(text) AS n_chars, "
+            "string_split_regex(trim(text), '\\s+') AS words FROM documents) "
+            "SELECT doc_id, n_chars, len(words) AS n_tokens, "
+            "round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS uniq_ratio, "
+            "round(CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) "
+            "/ len(words), 6) AS stop_ratio FROM w"
+        ),
+        "fingerprints": (
+            "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
+        ),
+        "split_assign": (
+            "SELECT doc_id, lang, CASE WHEN doc_id % 10 < 7 THEN 'train' "
+            "WHEN doc_id % 10 < 9 THEN 'valid' ELSE 'test' END AS split "
+            "FROM documents"
+        ),
+        "label_counts": (
+            "SELECT lang, CASE WHEN doc_id % 10 < 7 THEN 'train' "
+            "WHEN doc_id % 10 < 9 THEN 'valid' ELSE 'test' END AS split, "
+            "count(*) AS n FROM documents GROUP BY 1, 2"
+        ),
+        "exact_dedup": (
+            "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "jaccard_near_dup": (
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words "
+            "FROM documents), s AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, greatest(len(words) - 2, 0)), "
+            "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND "
+            "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cos_sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "ann_topk": (
+            "SELECT query_id, candidate_id, \"rank\" FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, "
+            "CAST(row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) "
+            "AS BIGINT) AS \"rank\" "
+            "FROM embeddings q, embeddings c WHERE q.vec_id < 10) WHERE \"rank\" <= 5"
+        ),
+        "similar_supplier_names": (
+            "SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b, "
+            "levenshtein(a.s_name, b.s_name) AS lev, "
+            "round(jaro_winkler_similarity(a.s_name, b.s_name), 6) AS jw "
+            "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey "
+            "WHERE levenshtein(a.s_name, b.s_name) <= 3"
+        ),
+        "rank_by_levenshtein": (
+            "SELECT c_custkey, s_suppkey, lev, \"rank\" FROM ("
+            "SELECT c_custkey, s_suppkey, levenshtein(c_name, s_name) AS lev, "
+            "CAST(row_number() OVER (PARTITION BY c_custkey "
+            "ORDER BY levenshtein(c_name, s_name), s_suppkey) AS BIGINT) AS \"rank\" "
+            "FROM customer, supplier WHERE c_custkey < 20) WHERE \"rank\" <= 5"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "SELECT o_custkey, c_name, c_mktsegment, "
+            "round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY o_custkey, c_name, c_mktsegment "
+            "ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
+            "round(sum(value), 2) AS sum_value, min(value) AS min_value, "
+            "max(value) AS max_value FROM events GROUP BY 1, 2"
+        ),
+        "nation_balance": (
+            "SELECT n_name, round(avg(s_acctbal), 2) AS avg_bal, "
+            "count(*) AS n_suppliers FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+        ),
+    }

@@ -1,0 +1,234 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32).
+
+Headline metric: scored_pairs_per_sec through the siamese PairScorer
+actor pool (the reference's unit of work — BASELINE.md reports
+~1,160–2,650 pairs/s for its GPU batch-64 loop).
+
+``--scaling``: runs the pair-scoring pipeline twice in FRESH processes
+at num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency ((t8/t32)/4) — the sandbox stand-in
+for the N vs 4N node rule (no multi-node cluster available here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAIRS_N = int(os.environ.get("GRAFT_BENCH_PAIRS", "60000"))
+LINK_DOCS_N = int(os.environ.get("GRAFT_BENCH_LINK_DOCS", "4000"))
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _pairs_parquet(n: int) -> str:
+    """Deterministic labeled pairs cached under /tmp (seeded synth)."""
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/deezymatch_bench/pairs_{n}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from deezymatch_ray.data.synth import make_labeled_pairs
+
+        pq.write_table(make_labeled_pairs(n, seed=42), path)
+    return path
+
+
+def _spans_parquet(n: int) -> str:
+    path = f"/tmp/deezymatch_bench/spans_{n}"
+    if not os.path.exists(os.path.join(path, "documents_spans.parquet")):
+        from deezymatch_ray.data.synth import write_documents
+
+        write_documents(path, n, seed=42)
+    return os.path.join(path, "documents_spans.parquet")
+
+
+def bench_pair_scoring() -> dict:
+    """Headline: labeled pairs through the PairScorer actor pool
+    (model p1 + Levenshtein + Jaro-Winkler per pair)."""
+    import ray.data
+
+    from deezymatch_ray.pipelines.linkage import (
+        get_or_train_default_model,
+        load_model_artifacts,
+    )
+    from deezymatch_ray.stages.scoring import PairScorer
+
+    weights_ref, vocab_ref, meta, cfg = load_model_artifacts(
+        get_or_train_default_model()
+    )
+    path = _pairs_parquet(PAIRS_N)
+    ds = ray.data.read_parquet(path, columns=["s1", "s2"])
+    t0 = time.time()
+    scored = ds.map_batches(
+        PairScorer,
+        fn_constructor_kwargs=dict(
+            weights_ref=weights_ref, vocab_ref=vocab_ref, meta=meta,
+            s1_col="s1", s2_col="s2", with_classical=True,
+            preprocessing=cfg.preprocessing, tokenization=cfg.tokenization,
+        ),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, NUM_CPUS),
+    )
+    n = scored.count()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n, "pairs_per_sec": n / dt}
+
+
+def bench_linkage() -> dict:
+    """Name-linkage flagship on the synthetic spans corpus: blocking →
+    siamese scoring → classical gates → connected components."""
+    from deezymatch_ray.pipelines.linkage import link_documents
+    from deezymatch_ray.sources.spans import read_documents
+
+    path = _spans_parquet(LINK_DOCS_N)
+    ds = read_documents(path)
+    t0 = time.time()
+    out = link_documents(ds)
+    n = out.count()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n, "docs_per_sec": LINK_DOCS_N / dt}
+
+
+def bench_near_dup() -> dict:
+    """Long-document near-dup clustering over the sf documents table."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    t0 = time.time()
+    out = mod._cluster_documents(SF_DIR)
+    n = out.count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
+def bench_minhash() -> dict:
+    import ray.data
+
+    from deezymatch_ray.stages.dedup import minhash_lsh_near_dup
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    t0 = time.time()
+    n_docs = ds.count()
+    n = minhash_lsh_near_dup(ds, threshold=0.5).count()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n, "docs_per_sec": n_docs / dt}
+
+
+def bench_ann() -> dict:
+    import ray.data
+
+    from deezymatch_ray.stages import ann
+
+    cands = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t0 = time.time()
+    q_ids, q_mat = ann.load_queries(cands, n_queries=50)
+    n = ann.brute_force_topk(cands, q_ids, q_mat, k=10).count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
+def bench_pricing() -> dict:
+    from deezymatch_ray.pipelines.analysis import q_pricing_summary
+
+    t0 = time.time()
+    n = q_pricing_summary(SF_DIR).count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
+BENCHES = {
+    "pair_scoring": bench_pair_scoring,
+    "linkage": bench_linkage,
+    "near_dup_cluster": bench_near_dup,
+    "minhash_near_dup": bench_minhash,
+    "ann_topk": bench_ann,
+    "pricing_summary": bench_pricing,
+}
+
+
+def run_one(name: str) -> dict:
+    _init_ray()
+    res = BENCHES[name]()
+    return res
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] == "--one":
+        res = run_one(args[1])
+        print(json.dumps(res))
+        return
+    if args and args[0] == "--scaling":
+        # fresh process per parallelism level (N vs 4N CPUs)
+        out = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", "pair_scoring"],
+                capture_output=True, text=True, env=env,
+            )
+            line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            out[f"cpus_{cpus}"] = json.loads(line)
+        t8 = out["cpus_8"]["pairs_per_sec"]
+        t32 = out["cpus_32"]["pairs_per_sec"]
+        eff = (t32 / t8) / 4.0
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32_cpus", "value": eff,
+            "unit": "ratio", "pairs_per_sec_8cpus": t8,
+            "pairs_per_sec_32cpus": t32, "sf": SF_DIR,
+        }))
+        return
+
+    _init_ray()
+    queries = {}
+    t_all = time.time()
+    for name, fn in BENCHES.items():
+        t0 = time.time()
+        try:
+            res = fn()
+            queries[name] = round(res["sec"], 3)
+        except Exception as e:  # report, never die mid-bench
+            queries[name] = f"FAIL {type(e).__name__}: {e}"
+        sys.stderr.write(f"{name}: {queries[name]} ({time.time()-t0:.1f}s)\n")
+    total = time.time() - t_all
+    import ray
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "bench_suite_total",
+        "value": round(total, 1),
+        "unit": "sec",
+        "queries": queries,
+        "scored_pairs_per_sec": round(PAIRS_N / queries["pair_scoring"], 1)
+        if isinstance(queries["pair_scoring"], float) else -1,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

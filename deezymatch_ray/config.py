@@ -106,7 +106,11 @@ class ExecutionConfig:
     """Ray Data execution knobs — per-stage sizing."""
 
     score_batch_size: int = 4096
-    score_concurrency: int = 8
+    # Autoscaling actor-pool bounds (min, max): a fixed-size pool larger
+    # than the cluster's free CPUs deadlocks Ray Data's ActorPoolMapOperator
+    # while it waits for all actors to schedule; (1, N) starts work with
+    # whatever fits and scales up to N as resources allow.
+    score_concurrency: tuple[int, int] = (1, 8)
     read_override_num_blocks: int | None = None
     cluster_driver_edge_limit: int = 2_000_000  # below this, union-find on driver
     cluster_max_rounds: int = 50

@@ -204,33 +204,50 @@ def make_documents(
     return documents, truth
 
 
-def make_labeled_pairs(n_pairs: int, seed: int = 42) -> pa.Table:
+def make_labeled_pairs(
+    n_pairs: int, seed: int = 42, max_variant: int = 5, n_entities: int | None = None
+) -> pa.Table:
     """Balanced (s1, s2, label) pairs in the reference training format
-    (data_processing.py:55): positives are variants of one entity,
-    negatives mix random and hard (same-prefix) entity pairs."""
-    n_entities = max(4, n_pairs // 4)
+    (data_processing.py:55): positives are variants of one entity;
+    negatives are 50% *blocking-hard* (different entities sharing a
+    normalized 3-gram — the population the blocked scorer actually sees)
+    and 50% random. ``max_variant`` matches ``make_documents``'s variant
+    range so the training distribution covers the corpus distribution."""
+    n_entities = n_entities or max(4, n_pairs // 4)
     names = make_entity_names(n_entities, seed)
+    lowered = [n.lower() for n in names]
+    # 3-gram index over bounded lowered names for hard-negative sampling
+    gram_index: dict[str, list[int]] = {}
+    for i, s in enumerate(lowered):
+        b = f"|{s}|"
+        for g in {b[j : j + 3] for j in range(len(b) - 2)}:
+            gram_index.setdefault(g, []).append(i)
     rng = np.random.default_rng((seed, 3))
     s1, s2, label = [], [], []
     for i in range(n_pairs):
         if i % 2 == 0:  # positive
             e = int(rng.integers(0, n_entities))
-            v1, v2 = int(rng.integers(0, 3)), int(rng.integers(1, 4))
+            v1 = int(rng.integers(0, max_variant))
+            v2 = int(rng.integers(1, max_variant))
             s1.append(make_variant(names[e], e, v1, seed))
             s2.append(make_variant(names[e], e, v2, seed))
             label.append(True)
         else:  # negative
             e1 = int(rng.integers(0, n_entities))
-            if rng.random() < 0.3:  # hard negative: nearest by sorted order
-                e2 = min(e1 + 1, n_entities - 1)
-                if e2 == e1:
-                    e2 = e1 - 1
+            if i % 4 == 1:  # hard negative: shares a blocking 3-gram
+                b = f"|{lowered[e1]}|"
+                cands: set[int] = set()
+                for g in {b[j : j + 3] for j in range(len(b) - 2)}:
+                    cands.update(gram_index.get(g, ()))
+                cands.discard(e1)
+                pool = sorted(cands)
+                e2 = pool[int(rng.integers(0, len(pool)))] if pool else (e1 + 1) % n_entities
             else:
                 e2 = int(rng.integers(0, n_entities))
                 if e2 == e1:
                     e2 = (e1 + 1) % n_entities
-            s1.append(make_variant(names[e1], e1, int(rng.integers(0, 3)), seed))
-            s2.append(make_variant(names[e2], e2, int(rng.integers(0, 3)), seed))
+            s1.append(make_variant(names[e1], e1, int(rng.integers(0, max_variant)), seed))
+            s2.append(make_variant(names[e2], e2, int(rng.integers(0, max_variant)), seed))
             label.append(False)
     return pa.table({"s1": pa.array(s1), "s2": pa.array(s2), "label": pa.array(label)})
 

@@ -1,0 +1,140 @@
+"""Deduplication kernels: shingling, stable hashing, MinHash, SimHash.
+
+These are the scalar/batch building blocks for the dedup stages
+(deezymatch_ray/stages/dedup.py) — all deterministic (seeded, hashlib-
+based; never Python's randomized ``hash()``) so every actor replica and
+every rerun produces identical signatures, which checkpoint/resume and
+the driver's correctness compare both rely on.
+
+Scale notes: MinHash signatures are the *small* representation a
+100 TB dedup shuffles (k × 8 bytes per doc instead of the shingle set);
+exact-jaccard verification only ever runs on candidate pairs emitted by
+band blocking, never all-pairs. Signature computation is vectorized
+across the whole batch (k passes over the flattened shingle array +
+``np.minimum.reduceat``), not per document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WS_RE = re.compile(r"\s+")
+_U64_MAX = np.iinfo(np.uint64).max
+
+
+def words(text: str) -> list[str]:
+    """Whitespace tokens of the trimmed text — identical to DuckDB's
+    ``string_split_regex(trim(text), '\\s+')`` used by the SQL oracles."""
+    t = text.strip()
+    return _WS_RE.split(t) if t else [""]
+
+
+def word_shingles(text: str, n: int = 3) -> list[str]:
+    """Distinct word n-gram shingles, first-occurrence order."""
+    w = words(text)
+    if len(w) < n:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(w) - n + 1):
+        seen.setdefault(" ".join(w[i : i + n]), None)
+    return list(seen)
+
+
+def stable_hash64(token: str) -> int:
+    """Stable 64-bit hash (first 8 bytes of blake2b). Deterministic
+    across processes/machines, unlike built-in ``hash``."""
+    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def stable_hash64_batch(tokens: list[str]) -> np.ndarray:
+    return np.fromiter((stable_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+
+
+def minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """k (a, b) pairs for h_i(x) = a_i * x + b_i in uint64 wrap-around
+    arithmetic. a_i is forced odd, making x → a_i·x + b_i a bijection on
+    Z/2^64 — a perfectly valid (and branch-free) MinHash permutation
+    family given blake2b-uniform inputs."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, _U64_MAX, size=k, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _U64_MAX, size=k, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures_flat(
+    flat_hashes: np.ndarray, offsets: np.ndarray, k: int = 64, seed: int = 7
+) -> np.ndarray:
+    """[N, k] uint64 signatures for N docs whose shingle hashes are
+    concatenated in ``flat_hashes`` with boundaries ``offsets`` (len N+1).
+    Empty docs get all-max signatures (match nothing)."""
+    a, b = minhash_params(k, seed)
+    n = len(offsets) - 1
+    out = np.full((n, k), _U64_MAX, dtype=np.uint64)
+    if len(flat_hashes) == 0:
+        return out
+    lens = np.diff(offsets)
+    nonempty = np.flatnonzero(lens > 0)
+    starts = offsets[nonempty]
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            hv = flat_hashes * a[i] + b[i]  # uint64 wrap-around, vectorized
+            out[nonempty, i] = np.minimum.reduceat(hv, starts)
+    return out
+
+
+def minhash_signatures(shingle_lists: list[list[str]], k: int = 64, seed: int = 7) -> np.ndarray:
+    """[N, k] uint64 signatures for a batch of shingle lists."""
+    offsets = np.zeros(len(shingle_lists) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in shingle_lists], out=offsets[1:])
+    flat = stable_hash64_batch([t for sh in shingle_lists for t in sh])
+    return minhash_signatures_flat(flat, offsets, k=k, seed=seed)
+
+
+def band_keys(sigs: np.ndarray, n_bands: int) -> list[list[str]]:
+    """LSH band keys per row of an [N, k] signature matrix: band index +
+    digest of the band's rows. Two docs share a key iff a whole band of
+    their signatures agrees."""
+    n, k = sigs.shape
+    rows = k // n_bands
+    out: list[list[str]] = []
+    for r in range(n):
+        keys = []
+        for bidx in range(n_bands):
+            seg = sigs[r, bidx * rows : (bidx + 1) * rows]
+            keys.append(f"{bidx}:{hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()}")
+        out.append(keys)
+    return out
+
+
+def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
+    """[N] uint64 SimHash fingerprints (bitwise majority of token-hash
+    bits). Vectorized across the flattened token axis."""
+    n = len(token_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in token_lists], out=offsets[1:])
+    flat = stable_hash64_batch([t for toks in token_lists for t in toks])
+    if len(flat) == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    contrib = 2 * bits - 1  # [n_tokens, 64]
+    lens = np.diff(offsets)
+    nonempty = np.flatnonzero(lens > 0)
+    score = np.add.reduceat(contrib, offsets[nonempty], axis=0)
+    sig_bits = (score > 0).astype(np.uint64)
+    out[nonempty] = (sig_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise Hamming distance between two uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt

@@ -1,0 +1,359 @@
+"""Driver-testdata pipelines: one function per `queries()` entry.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / pandas
+DataFrame whose column names match the paired DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` exactly (the driver sorts columns by name
+and hashes values). Inputs are the driver's parquet tables
+(TESTDATA.md); reads prune columns at the source.
+
+These exercise the engine surface end-to-end: stateless map_batches
+kernels (normalize, stats, fingerprints), flat_map + groupby shuffles
+(token counts, shingle blocks), partial-aggregate combiners, hash
+joins, per-group top-k, dedup families, and brute-force/IVF similarity
+search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from deezymatch_ray.functions.similarity import jaro_winkler_batch, levenshtein_batch
+from deezymatch_ray.stages import ann, dedup, textstats
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(col, ndigits: int) -> pa.Array:
+    """Correctly-rounded decimal rounding (Python round = shortest-repr
+    rounding), matching DuckDB's round() bit-for-bit — pc.round/np.round
+    scale-multiply-divide and can land one ulp off, which breaks the
+    driver's value-hash compare. Only used on small aggregate outputs."""
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
+    return pa.array([None if v is None else round(float(v), ndigits) for v in vals],
+                    type=pa.float64())
+
+
+# ---------------------------------------------------------------------------
+# reference text kernels over driver tables (M1, A2-style ops)
+# ---------------------------------------------------------------------------
+
+
+def q_normalize(sf_dir: str) -> ray.data.Dataset:
+    """M1 subset that DuckDB can mirror: lower + trim."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(batch["text"]))
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": norm})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """A2 vocabulary-build shape: corpus token frequencies."""
+    return textstats.token_counts(_read(sf_dir, "documents", ["text"]))
+
+
+def q_text_stats(sf_dir: str) -> ray.data.Dataset:
+    return textstats.text_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    return textstats.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    return textstats.lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_split_assign(sf_dir: str) -> ray.data.Dataset:
+    """K3 deterministic split (modulo keying — SQL-mirrorable; the
+    library's hash split uses md5 buckets, same pattern)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 10
+        split = np.where(m < 7, "train", np.where(m < 9, "valid", "test"))
+        return pa.table({
+            "doc_id": batch["doc_id"], "lang": batch["lang"],
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_label_counts(sf_dir: str) -> ray.data.Dataset:
+    """A1/A3 shape: group counts (per (lang, split))."""
+    return (
+        q_split_assign(sf_dir)
+        .groupby(["lang", "split"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    return dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_jaccard_near_dup(sf_dir: str) -> ray.data.Dataset:
+    return dedup.jaccard_near_dup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, threshold=0.5
+    )
+
+
+def q_minhash_near_dup(sf_dir: str) -> ray.data.Dataset:
+    return dedup.minhash_lsh_near_dup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, k=64, n_bands=16,
+        threshold=0.5,
+    )
+
+
+def q_simhash(sf_dir: str) -> ray.data.Dataset:
+    return dedup.simhash_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_simhash_near_dup(sf_dir: str) -> ray.data.Dataset:
+    return dedup.simhash_near_dup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+
+
+def q_embedding_near_dup(sf_dir: str) -> ray.data.Dataset:
+    return dedup.embedding_near_dup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
+    cands = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_ids, q_mat = ann.load_queries(cands, n_queries=10)
+    return ann.brute_force_topk(cands, q_ids, q_mat, k=5)
+
+
+def q_ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
+    cands = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_ids, q_mat = ann.load_queries(cands, n_queries=10)
+    return ann.ivf_topk(cands, q_ids, q_mat, k=5, n_centroids=16, nprobe=16)
+
+
+# ---------------------------------------------------------------------------
+# classical-similarity ranking over relational tables (M9/K1 shapes)
+# ---------------------------------------------------------------------------
+
+
+def q_similar_supplier_names(sf_dir: str) -> ray.data.Dataset:
+    """All supplier-name pairs with Levenshtein ≤ 3 (s1 < s2): the
+    pairwise classical-scorer path with an integer-exact oracle."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    tbl = pa.concat_tables(sup.iter_batches(batch_format="pyarrow"))
+    import ray as _ray
+
+    payload = _ray.put((
+        np.asarray(tbl["s_suppkey"].to_pylist(), dtype=np.int64),
+        tbl["s_name"].to_pylist(),
+    ))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c_keys, c_names = _ray.get(payload)
+        q_keys = np.asarray(batch["s_suppkey"].to_pylist(), dtype=np.int64)
+        q_names = batch["s_name"].to_pylist()
+        qi, ci = np.nonzero(q_keys[:, None] < c_keys[None, :])
+        lev = levenshtein_batch([q_names[i] for i in qi], [c_names[j] for j in ci])
+        keep = lev <= 3
+        qi, ci, lev = qi[keep], ci[keep], lev[keep]
+        jw = jaro_winkler_batch([q_names[i] for i in qi], [c_names[j] for j in ci])
+        return pa.table({
+            "suppkey_a": pa.array(q_keys[qi]),
+            "suppkey_b": pa.array(c_keys[ci]),
+            "lev": pa.array(lev.astype(np.int64)),
+            "jw": pa.array([round(float(v), 6) for v in jw], type=pa.float64()),
+        })
+
+    return sup.map_batches(fn, batch_format="pyarrow")
+
+
+def q_rank_by_levenshtein(sf_dir: str) -> ray.data.Dataset:
+    """K1 per-query top-k with the classical metric: for the first 20
+    customer names, the 5 nearest supplier names by (lev asc, suppkey
+    asc)."""
+    import functools
+
+    import ray as _ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    tbl = pa.concat_tables(sup.iter_batches(batch_format="pyarrow"))
+    payload = _ray.put((
+        np.asarray(tbl["s_suppkey"].to_pylist(), dtype=np.int64),
+        tbl["s_name"].to_pylist(),
+    ))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).filter(
+        expr="c_custkey < 20"
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        c_keys, c_names = _ray.get(payload)
+        q_keys = batch["c_custkey"].to_pylist()
+        q_names = batch["c_name"].to_pylist()
+        nq, nc = len(q_keys), len(c_keys)
+        qi = np.repeat(np.arange(nq), nc)
+        ci = np.tile(np.arange(nc), nq)
+        lev = levenshtein_batch([q_names[i] for i in qi], [c_names[j] for j in ci])
+        return pa.table({
+            "c_custkey": pa.array(np.asarray(q_keys, dtype=np.int64)[qi]),
+            "s_suppkey": pa.array(c_keys[ci]),
+            "lev": pa.array(lev.astype(np.int64)),
+        })
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["lev", "s_suppkey"], kind="stable").head(5)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["c_custkey", "s_suppkey", "lev", "rank"]]
+
+    scored = cust.map_batches(score, batch_format="pyarrow")
+    return scored.groupby("c_custkey").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# relational coverage: aggregate / join / sort / window shapes
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-shaped aggregate with a per-batch combiner: partial sums
+    inside map_batches, then a small groupby — the pre-aggregation
+    pattern that keeps the shuffle tiny at 100 TB."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = batch.append_column("disc_price", disc_price)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns([
+            "l_returnflag", "l_linestatus", "p_qty", "p_price", "p_disc", "p_n"
+        ])
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_price", alias_name="sum_base_price"),
+        Sum("p_disc", alias_name="sum_disc_price"),
+        Sum("p_n", alias_name="count_order"),
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": batch["sum_qty"],
+            "sum_base_price": _round_col(batch["sum_base_price"], 2),
+            "sum_disc_price": _round_col(batch["sum_disc_price"], 2),
+            "count_order": batch["count_order"],
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    """Hash join + aggregate + global top-k (sort + limit)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    spend = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spend"), Count(alias_name="n_orders")
+    )
+    joined = spend.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    top = joined.sort(["total_spend", "o_custkey"], descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    df["total_spend"] = [round(float(v), 2) for v in df["total_spend"]]
+    return df[["o_custkey", "c_name", "c_mktsegment", "total_spend", "n_orders"]]
+
+
+def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate over the event stream (windowed
+    groupby: the batch engine's stand-in for streaming windows)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({
+            "event_type": batch["event_type"], "hour": hour, "value": batch["value"],
+        })
+
+    agg = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": batch["hour"],
+            "n": batch["n"],
+            "sum_value": _round_col(batch["sum_value"], 2),
+            "min_value": batch["min_value"],
+            "max_value": batch["max_value"],
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def q_nation_balance(sf_dir: str) -> ray.data.Dataset:
+    """Two-table join + mean aggregate (broadcast-small-side shape)."""
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        # groupby promotes the left key to int64; align the right key
+        lambda b: pa.table({"n_nationkey": pc.cast(b["n_nationkey"], pa.int64()),
+                            "n_name": b["n_name"]}),
+        batch_format="pyarrow",
+    )
+    agg = sup.groupby("s_nationkey").aggregate(
+        Mean("s_acctbal", alias_name="avg_bal"), Count(alias_name="n_suppliers")
+    )
+    joined = agg.join(
+        nat, join_type="inner", num_partitions=4,
+        on=("s_nationkey",), right_on=("n_nationkey",),
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"],
+            "avg_bal": _round_col(batch["avg_bal"], 2),
+            "n_suppliers": batch["n_suppliers"],
+        })
+
+    return joined.map_batches(final, batch_format="pyarrow")

@@ -1,0 +1,189 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: exact brute-force cosine top-k — the query matrix is small
+and broadcast once (``ray.put``); the CANDIDATE side streams through
+``map_batches``, each block emitting its local per-query top-k, and a
+final ``groupby(query_id).map_groups`` merges local top-k's into the
+global one. This is the map-combine-reduce shape that scales to any
+candidate count: per-candidate work is one [B, D] × [D, Q] matmul and
+the shuffle carries only O(n_blocks · Q · k) rows.
+
+Scale path: ``ivf_topk`` — k-means-style coarse quantizer (seeded,
+trained on a sample) assigns every vector to a centroid bucket;
+queries probe only the ``nprobe`` nearest buckets. Same output schema,
+approximate recall, shuffle bounded by bucket sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    vals = col.to_pylist()
+    return (
+        np.stack([np.asarray(v, dtype=np.float32) for v in vals]).astype(np.float64)
+        if vals else np.empty((0, 0))
+    )
+
+
+def brute_force_topk(
+    candidates: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Exact cosine top-k: (query_id, candidate_id, rank) per query.
+
+    Tie-break pinned to ascending candidate id at equal similarity.
+    """
+    q = query_mat.astype(np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    payload = ray.put((query_ids, q, qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, qm, qnorm = ray.get(payload)
+        c_ids = np.asarray(batch[id_col].to_pylist())
+        c = _to_matrix(batch[vec_col])
+        if len(c_ids) == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "candidate_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        cn = np.linalg.norm(c, axis=1)
+        sims = (c @ qm.T) / np.maximum(cn[:, None] * qnorm[None, :], 1e-12)  # [B, Q]
+        nk = min(k, len(c_ids))
+        # local per-query top-k (argpartition then exact order)
+        part = np.argpartition(-sims, nk - 1, axis=0)[:nk]  # [nk, Q]
+        rows_q, rows_c, rows_s = [], [], []
+        for qi in range(len(q_ids)):
+            sel = part[:, qi]
+            rows_q.append(np.full(nk, q_ids[qi]))
+            rows_c.append(c_ids[sel])
+            rows_s.append(sims[sel, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            "candidate_id": pa.array(np.concatenate(rows_c)),
+            "sim": pa.array(np.concatenate(rows_s)),
+        })
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "candidate_id"], ascending=[False, True],
+                              kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "candidate_id", "rank"]]
+
+    local = candidates.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def load_queries(
+    ds: ray.data.Dataset,
+    n_queries: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Take the first ``n_queries`` by id as the (small) query side."""
+    import pyarrow.compute as pc
+
+    tbl = pa.concat_tables(
+        ds.filter(expr=f"{id_col} < {n_queries}")
+        .select_columns([id_col, vec_col])
+        .iter_batches(batch_format="pyarrow")
+    )
+    order = pc.sort_indices(tbl[id_col])
+    tbl = tbl.take(order)
+    return np.asarray(tbl[id_col].to_pylist()), _to_matrix(tbl[vec_col])
+
+
+def ivf_topk(
+    candidates: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """IVF-style approximate top-k: coarse centroids from a seeded
+    sample (Lloyd iterations on the driver — the quantizer is tiny),
+    candidates bucketed by nearest centroid inside ``map_batches``,
+    queries probe their ``nprobe`` nearest buckets; exact cosine within
+    probed buckets, merged per query. Output (query_id, candidate_id,
+    rank) like the exact path."""
+    sample = candidates.limit(sample_size)
+    smat = _to_matrix(
+        pa.concat_tables(sample.select_columns([vec_col]).iter_batches(batch_format="pyarrow"))[vec_col]
+    )
+    rng = np.random.default_rng(seed)
+    cent = smat[rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)]
+    for _ in range(10):  # Lloyd
+        d = ((smat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = smat[m].mean(axis=0)
+    cent_ref = ray.put(cent)
+
+    q = query_mat.astype(np.float64)
+    qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]  # [Q, nprobe]
+    # queries grouped by probed bucket
+    bucket_queries: dict[int, list[int]] = {}
+    for qi in range(len(query_ids)):
+        for b in probe[qi]:
+            bucket_queries.setdefault(int(b), []).append(qi)
+    payload = ray.put((query_ids, q, np.linalg.norm(q, axis=1), bucket_queries))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        centroids = ray.get(cent_ref)
+        q_ids, qm, qnorm, bq = ray.get(payload)
+        c_ids = np.asarray(batch[id_col].to_pylist())
+        c = _to_matrix(batch[vec_col])
+        out_q, out_c, out_s = [], [], []
+        if len(c_ids):
+            d = ((c[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            cb = d.argmin(axis=1)
+            cn = np.linalg.norm(c, axis=1)
+            for b, qidxs in bq.items():
+                sel = np.flatnonzero(cb == b)
+                if len(sel) == 0:
+                    continue
+                sims = (c[sel] @ qm[qidxs].T) / np.maximum(
+                    cn[sel][:, None] * qnorm[qidxs][None, :], 1e-12
+                )
+                nk = min(k, len(sel))
+                part = np.argpartition(-sims, nk - 1, axis=0)[:nk]
+                for col, qi in enumerate(qidxs):
+                    pick = sel[part[:, col]]
+                    out_q.append(np.full(nk, q_ids[qi]))
+                    out_c.append(c_ids[pick])
+                    out_s.append(sims[part[:, col], col])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "candidate_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "candidate_id": pa.array(np.concatenate(out_c)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["candidate_id"])
+        g = g.sort_values(["sim", "candidate_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "candidate_id", "rank"]]
+
+    local = candidates.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")

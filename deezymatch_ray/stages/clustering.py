@@ -1,0 +1,179 @@
+"""Transitive clustering: scored edges → entity clusters.
+
+The reference stops at ranked candidate lists; the north star adds a
+transitive-clustering stage (distributed union-find over scored edges).
+Semantics: connected components of the graph {(a, b) : score-accepted
+pair}, cluster id = min doc_id in the component (deterministic).
+
+Physical plans:
+- ``connected_components_driver``: exact union-find on the driver; used
+  when the edge count is below ``cluster_driver_edge_limit`` (edges,
+  not documents, bound memory — after thresholding the edge set is
+  orders of magnitude smaller than the input).
+- ``connected_components_distributed``: iterative min-label propagation
+  — each round joins labels to edges and takes per-node minima
+  (hash-partitioned ``Dataset.join`` + ``groupby().min``), converging in
+  O(component diameter) rounds with a fixpoint check per round. Both
+  plans are cross-checked for equality in tests.
+
+Duplicate edges (the same pair surfacing from several shared blocking
+keys) are harmless to both plans — no upstream pair-dedup shuffle is
+needed for clustering (SURVEY §7.3 note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min
+
+
+def connected_components_driver(edges: list[tuple[str, str]], nodes: list[str] | None = None) -> dict[str, str]:
+    """Union-find with path compression; cluster id = min member."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        # keep the lexicographically smaller root → min-member cluster id
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    for a, b in edges:
+        union(a, b)
+    out = {}
+    seen = set()
+    for a, b in edges:
+        for x in (a, b):
+            if x not in seen:
+                seen.add(x)
+                out[x] = find(x)
+    for x in nodes or []:
+        if x not in seen:
+            out[x] = x
+    return out
+
+
+def connected_components_distributed(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Min-label propagation until fixpoint → (doc_id, cluster_id).
+
+    edges: Dataset with string columns (src, dst). nodes (optional):
+    Dataset with column doc_id covering isolated documents.
+    """
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        a = batch[src].combine_chunks() if isinstance(batch[src], pa.ChunkedArray) else batch[src]
+        b = batch[dst].combine_chunks() if isinstance(batch[dst], pa.ChunkedArray) else batch[dst]
+        return pa.table({
+            "node": pa.concat_arrays([a, b]),
+            "nbr": pa.concat_arrays([b, a]),
+        })
+
+    directed = edges.map_batches(to_directed, batch_format="pyarrow")
+    # labels(node) = min(node, min neighbor) to start
+    labels = directed.groupby("node").aggregate(Min("nbr", alias_name="min_nbr"))
+
+    def init_label(batch: pa.Table) -> pa.Table:
+        lab = pa.array(
+            np.minimum(
+                np.asarray(batch["node"].to_pylist(), dtype=object),
+                np.asarray(batch["min_nbr"].to_pylist(), dtype=object),
+            ),
+            type=pa.string(),
+        )
+        return pa.table({"node": batch["node"], "label": lab})
+
+    labels = labels.map_batches(init_label, batch_format="pyarrow").materialize()
+    directed = directed.materialize()
+
+    for _ in range(max_rounds):
+        # push each node's label to its neighbors, take per-node min
+        joined = directed.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("node",),
+        )
+
+        def msg(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch["nbr"], "cand": batch["label"]})
+
+        cands = joined.map_batches(msg, batch_format="pyarrow").union(
+            labels.map_batches(
+                lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = cands.groupby("node").aggregate(Min("cand", alias_name="label"))
+        new_labels = new_labels.materialize()
+        # fixpoint check: has any label changed?
+        cmp = labels.join(
+            new_labels, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_suffix="_new",
+        )
+        changed = cmp.map_batches(
+            lambda b: pa.table({
+                "changed": pa.array(
+                    [int(x != y) for x, y in zip(b["label"].to_pylist(), b["label_new"].to_pylist())],
+                    type=pa.int64(),
+                )
+            }),
+            batch_format="pyarrow",
+        ).sum("changed")
+        labels = new_labels
+        if not changed:
+            break
+
+    out = labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+    )
+    if nodes is not None:
+        # isolated docs cluster with themselves (left anti via broadcast of
+        # clustered ids would shuffle; small trick: union + per-doc min)
+        singles = nodes.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "cluster_id": b["doc_id"]}),
+            batch_format="pyarrow",
+        )
+        out = out.union(singles).groupby("doc_id").aggregate(
+            Min("cluster_id", alias_name="cluster_id")
+        )
+    return out
+
+
+def edges_from_ranked(
+    ranked: ray.data.Dataset,
+    score_col: str = "faiss_dist",
+    threshold: float | None = None,
+    ascending: bool = True,
+) -> ray.data.Dataset:
+    """Project a ranked/scored pair table to (src, dst) edges."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch
+        if threshold is not None:
+            import pyarrow.compute as pc
+
+            m = (pc.less_equal(t[score_col], threshold) if ascending
+                 else pc.greater_equal(t[score_col], threshold))
+            t = t.filter(m)
+        return pa.table({"src": t["query_id"], "dst": t["candidate_id"]})
+
+    return ranked.map_batches(fn, batch_format="pyarrow")

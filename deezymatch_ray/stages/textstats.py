@@ -1,0 +1,129 @@
+"""Text-analysis stages: token counts, quality scores, language ID,
+document fingerprints.
+
+All are stateless ``map_batches`` transforms over (id, text); the
+quality/token kernels mirror exactly-SQL-expressible formulas so the
+driver's DuckDB oracle can verify them value-for-value (rounding applied
+identically on both sides).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from deezymatch_ray.functions.dedup import words
+
+_STOPWORDS = ("the", "a")
+
+
+def text_stats(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(id, n_chars, n_tokens, uniq_ratio, stop_ratio) per document.
+
+    SQL mirror (DuckDB):
+      n_chars   = length(text)
+      n_tokens  = len(string_split_regex(trim(text), '\\s+'))
+      uniq_ratio= round(len(list_distinct(words))/len(words), 6)
+      stop_ratio= round(len(list_filter(words, w -> w in ('the','a')))
+                  / len(words), 6)
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        uniq = np.zeros(n, dtype=np.float64)
+        stop = np.zeros(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            w = words(t or "")
+            n_tokens[i] = len(w)
+            uniq[i] = round(len(set(w)) / len(w), 6)
+            stop[i] = round(sum(1 for x in w if x in _STOPWORDS) / len(w), 6)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_chars": pc.utf8_length(batch[text_col]).cast(pa.int64()),
+            "n_tokens": pa.array(n_tokens),
+            "uniq_ratio": pa.array(uniq),
+            "stop_ratio": pa.array(stop),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(id, fp) — md5 of lower(trim(text)); identical to DuckDB's
+    ``md5(lower(trim(text)))``. The exact-dedup / lineage key."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(batch[text_col]))
+        fps = [hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+        return pa.table({id_col: batch[id_col], "fp": pa.array(fps, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# character n-gram profiles per language: crude, deterministic heuristic
+# (the sandbox has no langid model); profiles chosen from orthographic
+# signals that survive in short texts.
+_LANG_HINTS: dict[str, tuple[str, ...]] = {
+    "de": ("ß", "ü", "ö", "ä", " der ", " und ", " sch"),
+    "fr": ("é", "è", "ê", " le ", " la ", " les ", " est "),
+    "es": ("ñ", "¿", "¡", " el ", " los ", " es "),
+    "zh": ("的", "是", "不", "了"),
+}
+
+
+def lang_id(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(id, lang_pred) via hint-count heuristic; 'en' when no profile
+    fires. Deterministic — same text, same prediction."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        preds = []
+        for t in texts:
+            s = f" {(t or '').lower()} "
+            best, best_n = "en", 0
+            for lang, hints in _LANG_HINTS.items():
+                cnt = sum(s.count(h) for h in hints)
+                if cnt > best_n:
+                    best, best_n = lang, cnt
+            preds.append(best)
+        return pa.table({id_col: batch[id_col], "lang_pred": pa.array(preds, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_counts(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Corpus token frequencies (token, n) — flat_map + one groupby
+    shuffle; pre-aggregated per batch before shuffling (combiner)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counter: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            counter.update(words(t or ""))
+        return pa.table({
+            "token": pa.array(list(counter.keys()), type=pa.string()),
+            "partial_n": pa.array(list(counter.values()), type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )

@@ -1,0 +1,169 @@
+"""Distributed ranking plans vs the reference-faithful brute-force
+oracle, plus the ported reference invariants (FIXTURES.md F7)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from deezymatch_ray.config import DEFAULT_CONFIG
+from deezymatch_ray.data.synth import make_query_candidates
+from deezymatch_ray.model.chargru import CharGRU
+from deezymatch_ray.model.vocab import load_vocab
+from deezymatch_ray.pipelines.linkage import load_model_artifacts, train_model
+from deezymatch_ray.pipelines.oracle import oracle_rank
+from deezymatch_ray.stages.ranking import rank_blocked, rank_global
+
+
+@pytest.fixture(scope="session")
+def model_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("model"))
+    train_model(d, n_pairs=1000, epochs=8, embedding_dim=24, hidden_dim=24)
+    return d
+
+
+@pytest.fixture(scope="session")
+def qc_tables():
+    q, c = make_query_candidates(30, 40, seed=42)
+    queries = [(f"q-{i:03d}", n) for i, n in enumerate(q["name"].to_pylist())]
+    cands = [(f"c-{i:03d}", n) for i, n in enumerate(c["name"].to_pylist())]
+    return queries, cands
+
+
+def _to_ds(pairs):
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array([i for i, _ in pairs], type=pa.string()),
+        "name": pa.array([n for _, n in pairs], type=pa.string()),
+    }))
+
+
+def _cfg(model_dir, **ranking_kw):
+    _, _, meta, cfg = load_model_artifacts(model_dir)
+    thr = meta["suggested_faiss_threshold"]
+    ranking_kw.setdefault("selection_threshold", thr)
+    return cfg.replace(ranking=dataclasses.replace(cfg.ranking, **ranking_kw)), meta
+
+
+def _run(plan, queries, cands, cfg, model_dir, meta):
+    weights_ref, vocab_ref, _, _ = load_model_artifacts(model_dir)
+    ds = plan(_to_ds(queries), _to_ds(cands), cfg, weights_ref, vocab_ref, meta)
+    df = ds.to_pandas()
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _oracle(queries, cands, cfg, model_dir, restrict=False):
+    from deezymatch_ray.model.chargru import load_weights
+
+    weights, meta = load_weights(os.path.join(model_dir, "model.npz"))
+    model = CharGRU(weights, num_layers=meta["num_layers"],
+                    pooling_mode=meta["pooling_mode"])
+    tok2index = load_vocab(os.path.join(model_dir, "vocab.parquet"))
+    df = oracle_rank(queries, cands, model, tok2index, cfg,
+                     restrict_to_shared_block=restrict)
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def test_global_plan_matches_oracle_exactly(model_dir, qc_tables):
+    queries, cands = qc_tables
+    cfg, meta = _cfg(model_dir)
+    got = _run(rank_global, queries, cands, cfg, model_dir, meta)
+    want = _oracle(queries, cands, cfg, model_dir, restrict=False)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "candidate_id"]],
+        want[["query_id", "rank", "candidate_id"]],
+    )
+    np.testing.assert_allclose(got["faiss_dist"], want["faiss_dist"], atol=1e-6)
+
+
+def test_blocked_plan_matches_blocked_oracle(model_dir, qc_tables):
+    """The F1 gate: on pairs sharing a blocking key, the blocked plan
+    must reproduce the oracle ranker (target pairwise F1 ≥ 0.99; exact
+    match expected)."""
+    queries, cands = qc_tables
+    cfg, meta = _cfg(model_dir)
+    got = _run(rank_blocked, queries, cands, cfg, model_dir, meta)
+    want = _oracle(queries, cands, cfg, model_dir, restrict=True)
+    got_pairs = set(zip(got["query_id"], got["candidate_id"]))
+    want_pairs = set(zip(want["query_id"], want["candidate_id"]))
+    tp = len(got_pairs & want_pairs)
+    prec = tp / max(len(got_pairs), 1)
+    rec = tp / max(len(want_pairs), 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    assert f1 >= 0.99, (f1, got_pairs ^ want_pairs)
+    # distances and ranks agree on the intersection
+    merged = got.merge(want, on=["query_id", "candidate_id"], suffixes=("_g", "_o"))
+    np.testing.assert_allclose(merged["faiss_dist_g"], merged["faiss_dist_o"], atol=1e-6)
+    assert (merged["rank_g"] == merged["rank_o"]).all()
+
+
+def test_self_match_distance_zero(model_dir, qc_tables):
+    """Port of tests/test_pipeline_ngram.py:102-105: when queries ==
+    candidates each query retrieves itself at faiss distance ≈ 0."""
+    _, cands = qc_tables
+    cfg, meta = _cfg(model_dir)
+    got = _run(rank_global, cands, cands, cfg, model_dir, meta)
+    top = got[got["rank"] == 1].set_index("query_id")
+    for cid, name in cands:
+        assert top.loc[cid, "candidate_id"] == cid
+        assert top.loc[cid, "faiss_dist"] < 1e-6
+
+
+def test_calc_predict_does_not_change_distances(model_dir, qc_tables):
+    """Port of tests/test_pipeline_one_col_input.py:156-170."""
+    queries, cands = qc_tables
+    cfg0, meta = _cfg(model_dir, calc_predict=False)
+    cfg1, _ = _cfg(model_dir, calc_predict=True)
+    a = _run(rank_global, queries, cands, cfg0, model_dir, meta)
+    b = _run(rank_global, queries, cands, cfg1, model_dir, meta)
+    pd.testing.assert_frame_equal(
+        a[["query_id", "rank", "candidate_id", "faiss_dist"]],
+        b[["query_id", "rank", "candidate_id", "faiss_dist"]],
+    )
+    assert b["pred_score"].notna().all()
+    assert a["pred_score"].isna().all()
+
+
+def test_length_diff_postcondition(model_dir, qc_tables):
+    """Port of tests/test_pipeline_one_col_input.py:177-199: with
+    length_diff=2 every output pair differs by ≤ 2 NFKD chars."""
+    from deezymatch_ray.functions.text import normalize_string
+
+    queries, cands = qc_tables
+    cfg, meta = _cfg(model_dir, length_diff=2, selection_threshold=1e9)
+    got = _run(rank_global, queries, cands, cfg, model_dir, meta)
+    assert len(got) > 0
+    for _, row in got.iterrows():
+        lq = len(normalize_string(row["query"]))
+        lc = len(normalize_string(row["candidate"]))
+        assert abs(lq - lc) <= 2
+
+
+def test_cosine_metric_mode(model_dir, qc_tables):
+    queries, cands = qc_tables
+    cfg, meta = _cfg(model_dir, ranking_metric="cosine", selection_threshold=0.5)
+    got = _run(rank_global, queries, cands, cfg, model_dir, meta)
+    want = _oracle(queries, cands, cfg, model_dir)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "candidate_id"]],
+        want[["query_id", "rank", "candidate_id"]],
+    )
+    assert (got["cosine_dist"] <= 0.5 + 1e-9).all()
+
+
+def test_conf_metric_mode(model_dir, qc_tables):
+    queries, cands = qc_tables
+    cfg, meta = _cfg(model_dir, ranking_metric="conf", selection_threshold=0.5)
+    got = _run(rank_global, queries, cands, cfg, model_dir, meta)
+    want = _oracle(queries, cands, cfg, model_dir)
+    assert (got["pred_score"] >= 0.5).all()
+    got_pairs = set(zip(got["query_id"], got["candidate_id"]))
+    want_pairs = set(zip(want["query_id"], want["candidate_id"]))
+    assert got_pairs == want_pairs
