@@ -212,11 +212,11 @@ def cluster_near_dup_documents(
     texts = docs.select_columns([id_col, text_col])
     j1 = cand.join(texts, join_type="inner", num_partitions=16,
                    on=("doc_a",), right_on=(id_col,))
+    # explicit projection between joins: leftover right-side columns make
+    # the second join's key reference ambiguous
     j1 = j1.map_batches(
-        lambda b: b.rename_columns(
-            [{"doc_a": "doc_a", "doc_b": "doc_b", "est_jaccard": "est_jaccard",
-              text_col: "text_a"}.get(c, c) for c in b.column_names]
-        ),
+        lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                            "text_a": b[text_col]}),
         batch_format="pyarrow",
     )
     j2 = j1.join(texts, join_type="inner", num_partitions=16,

@@ -1,0 +1,83 @@
+"""Checkpoint/resume + lineage (FIXTURES.md kill-and-resume contract):
+a stage re-run is a no-op on completed partitions, an interrupted run
+re-executes exactly the missing partitions, and the final output is
+identical either way."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from deezymatch_ray.state.checkpoint import (
+    load_manifest,
+    read_stage_output,
+    run_stage,
+)
+
+
+def _docs(n=100):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([f"d-{i:04d}" for i in range(n)]),
+        "text": pa.array([f"text number {i} " + "x" * (i % 7) for i in range(n)]),
+    }))
+
+
+def _stage(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "stage_out")
+
+
+def test_run_writes_partitions_manifest_and_lineage(out_dir):
+    ran = run_stage(_docs(), _stage, out_dir, "n_chars", "doc_id", n_partitions=8)
+    assert ran == list(range(8))
+    m = load_manifest(out_dir)
+    assert set(m) == set(range(8))
+    for row in m.values():
+        assert row["stage"] == "n_chars"
+        assert row["rows_in"] == row["rows_out"] > 0
+        assert "input_fingerprint" in row and "wall_ms" in row
+    assert sum(r["rows_in"] for r in m.values()) == 100
+    out = read_stage_output(out_dir).to_pandas().sort_values("doc_id")
+    assert len(out) == 100
+    assert out["n_chars"].tolist() == [
+        len(f"text number {i} " + "x" * (i % 7)) for i in range(100)
+    ]
+
+
+def test_rerun_is_noop_and_resume_runs_only_missing(out_dir):
+    run_stage(_docs(), _stage, out_dir, "n_chars", "doc_id", n_partitions=8)
+    before = read_stage_output(out_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # completed run → no partition re-executes
+    assert run_stage(_docs(), _stage, out_dir, "n_chars", "doc_id", n_partitions=8) == []
+    # simulate a crash that lost partition 3's done-marker and data
+    os.remove(os.path.join(out_dir, "_manifest", "part-00003.json"))
+    shutil.rmtree(os.path.join(out_dir, "part=3"))
+    ran = run_stage(_docs(), _stage, out_dir, "n_chars", "doc_id", n_partitions=8)
+    assert ran == [3]
+    after = read_stage_output(out_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert before.equals(after)
+
+
+def test_changed_input_invalidates_only_touched_partitions(out_dir):
+    run_stage(_docs(100), _stage, out_dir, "n_chars", "doc_id", n_partitions=8)
+    # adding rows changes the fingerprint only of the buckets they hash to
+    ran = run_stage(_docs(110), _stage, out_dir, "n_chars", "doc_id", n_partitions=8)
+    assert 0 < len(ran) <= 8
+    out = read_stage_output(out_dir).to_pandas()
+    assert len(out) == 110

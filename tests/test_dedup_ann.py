@@ -1,0 +1,151 @@
+"""Dedup + similarity-search operators vs DuckDB brute-force oracles
+(sf0.001 driver tables), plus structural invariants for the
+probabilistic paths (MinHash, SimHash, IVF)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from deezymatch_ray.functions.dedup import (
+    hamming64,
+    minhash_signatures,
+    simhash64_batch,
+    word_shingles,
+    words,
+)
+from deezymatch_ray.stages import ann, dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.execute(f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_exact_dedup_matches_sql(docs_ds, con):
+    got = dedup.exact_dedup(docs_ds).to_pandas().sort_values("text").reset_index(drop=True)
+    want = con.execute(
+        "select text, min(doc_id) as doc_id from documents group by text order by text"
+    ).fetchdf()
+    assert got[["text", "doc_id"]].equals(want[["text", "doc_id"]])
+
+
+def test_jaccard_near_dup_matches_bruteforce(docs_ds, con):
+    got = dedup.jaccard_near_dup(docs_ds, n=3, threshold=0.5).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    want = con.execute("""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(words)-2,0)),
+              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+                     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND
+              CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+              (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.5
+        ORDER BY 1, 2
+    """).fetchdf()
+    assert len(got) == len(want) > 0
+    assert got["doc_a"].tolist() == want["doc_a"].tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].tolist()
+    np.testing.assert_allclose(got["jaccard"], want["jaccard"], atol=1e-12)
+
+
+def test_minhash_estimates_track_exact_jaccard(docs_ds):
+    """LSH candidates at threshold 0.5 must (a) be a subset of pairs the
+    exact path could emit (same shingle universe) and (b) estimate
+    jaccard within MinHash sampling error (k=64 → σ≈0.0625)."""
+    got = dedup.minhash_lsh_near_dup(docs_ds, n=3, k=64, n_bands=16,
+                                     threshold=0.5).to_pandas()
+    assert len(got) > 0
+    texts = dict(zip(
+        *[pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+          .to_pandas()[c] for c in ("doc_id", "text")]
+    ))
+    for _, r in got.iterrows():
+        sa = set(word_shingles(texts[r.doc_a], 3))
+        sb = set(word_shingles(texts[r.doc_b], 3))
+        exact = len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
+        assert abs(r.est_jaccard - exact) < 0.25, (r.doc_a, r.doc_b, r.est_jaccard, exact)
+    # high-jaccard pairs must be recalled (P[miss] ≈ (1-t^4)^16 < 1e-3 at t≈0.95)
+    exact_pairs = dedup.jaccard_near_dup(docs_ds, n=3, threshold=0.9).to_pandas()
+    got_set = set(zip(got.doc_a, got.doc_b))
+    missed = [p for p in zip(exact_pairs.doc_a, exact_pairs.doc_b) if p not in got_set]
+    assert len(missed) <= max(1, len(exact_pairs) // 10)
+
+
+def test_minhash_signature_determinism_and_self_similarity():
+    sh = [word_shingles("a b c d e f g h i j k", 3),
+          word_shingles("a b c d e f g h i j k", 3),
+          word_shingles("z y x w v u t s r q p", 3)]
+    sig = minhash_signatures(sh, k=64, seed=7)
+    assert (sig[0] == sig[1]).all()  # identical sets → identical signatures
+    assert (sig[0] == sig[2]).mean() < 0.2
+    assert (minhash_signatures(sh, k=64, seed=7) == sig).all()  # deterministic
+
+
+def test_simhash_hamming_properties():
+    t1 = words("the quick brown fox jumps over the lazy dog")
+    t2 = words("the quick brown fox jumps over the lazy cat")
+    t3 = words("completely different content with other tokens entirely")
+    sigs = simhash64_batch([t1, t2, t3])
+    d12 = hamming64(sigs[:1], sigs[1:2])[0]
+    d13 = hamming64(sigs[:1], sigs[2:3])[0]
+    assert d12 < d13
+    assert hamming64(sigs[:1], sigs[:1])[0] == 0
+
+
+def test_simhash_near_dup_verified_by_exact_hamming(docs_ds):
+    got = dedup.simhash_near_dup(docs_ds, max_hamming=3).to_pandas()
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    tmap = dict(zip(texts.doc_id, texts.text))
+    sig_of = lambda t: simhash64_batch([words(t)])[0:1]
+    for _, r in got.iterrows():
+        hd = hamming64(sig_of(tmap[r.doc_a]), sig_of(tmap[r.doc_b]))[0]
+        assert hd == r.hamming <= 3
+    # no duplicate pair emissions (min-segment ownership)
+    assert not got.duplicated(subset=["doc_a", "doc_b"]).any()
+
+
+def test_ann_topk_matches_sql(con):
+    cands = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_ids, q_mat = ann.load_queries(cands, n_queries=5)
+    got = ann.brute_force_topk(cands, q_ids, q_mat, k=5).to_pandas()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = con.execute("""
+        SELECT query_id, candidate_id, "rank" FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id)
+                 AS "rank"
+          FROM embeddings q, embeddings c WHERE q.vec_id < 5)
+        WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """).fetchdf()
+    assert got["query_id"].tolist() == want["query_id"].tolist()
+    assert got["candidate_id"].tolist() == want["candidate_id"].tolist()
+
+
+def test_ivf_topk_recall_vs_exact():
+    cands = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_ids, q_mat = ann.load_queries(cands, n_queries=5)
+    exact = ann.brute_force_topk(cands, q_ids, q_mat, k=5).to_pandas()
+    approx = ann.ivf_topk(cands, q_ids, q_mat, k=5, n_centroids=8, nprobe=8).to_pandas()
+    # nprobe == n_centroids → every bucket probed → must equal exact
+    e = set(zip(exact.query_id, exact.candidate_id))
+    a = set(zip(approx.query_id, approx.candidate_id))
+    assert e == a
