@@ -112,6 +112,9 @@ class ExecutionConfig:
     # whatever fits and scales up to N as resources allow.
     score_concurrency: tuple[int, int] = (1, 8)
     read_override_num_blocks: int | None = None
+    # hash-bucket count for fine-keyed groupbys (block keys, query ids,
+    # pair dedup): bounds map_groups invocations and sets shuffle width
+    shuffle_partitions: int = 64
     cluster_driver_edge_limit: int = 2_000_000  # below this, union-find on driver
     cluster_max_rounds: int = 50
 

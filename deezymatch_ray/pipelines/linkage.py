@@ -33,7 +33,8 @@ from deezymatch_ray.stages.clustering import (
 )
 from deezymatch_ray.stages.ranking import (
     _KeyAndCarry,
-    per_block_score,
+    blocked_pairs,
+    dedup_pairs,
     prepare_side,
     rank_blocked,
     rank_global,
@@ -169,13 +170,8 @@ def score_self_pairs(
     cosine_dist) for unordered within-block doc pairs under threshold."""
     prepared = prepare_side(docs, cfg, weights_ref, vocab_ref, meta,
                             "doc_id", "join_text")
-    import functools
-
     keyed = prepared.map_batches(_KeyAndCarry(cfg), batch_format="pyarrow")
-    return keyed.groupby("block_key").map_groups(
-        functools.partial(per_block_score, cfg=cfg, self_join=True),
-        batch_format="pandas",
-    )
+    return blocked_pairs(keyed, cfg, self_join=True)
 
 
 def cluster_near_dup_documents(
@@ -209,7 +205,8 @@ def cluster_near_dup_documents(
     # verify candidates with exact jaccard — join texts back by id via
     # broadcast of the candidate pair list is unnecessary: re-derive both
     # docs' shingle sets inside a hash join of the pair table to the docs
-    texts = docs.select_columns([id_col, text_col])
+    # two joins read texts — materialize once
+    texts = docs.select_columns([id_col, text_col]).materialize()
     j1 = cand.join(texts, join_type="inner", num_partitions=16,
                    on=("doc_a",), right_on=(id_col,))
     # explicit projection between joins: leftover right-side columns make
@@ -239,7 +236,7 @@ def cluster_near_dup_documents(
                 dst.append(b_ids[i])
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
-    edges = j2.map_batches(verify, batch_format="pyarrow")
+    edges = j2.map_batches(verify, batch_format="pyarrow").materialize()
     nodes = docs.select_columns([id_col])
     n_edges = edges.count()
     use_distributed = (
@@ -314,6 +311,10 @@ def link_documents(
     )
     jt = docs_with_join_text(docs)
     pairs = score_self_pairs(jt, cfg, weights_ref, vocab_ref, meta)
+    # D1 pair dedup (SURVEY §2.7): a pair sharing k block keys is emitted k
+    # times; dedup BEFORE the model re-scores — distances are identical
+    # across blocks, so keep-any is exact
+    pairs = dedup_pairs(pairs, cfg.execution.shuffle_partitions)
     from deezymatch_ray.stages.scoring import PairScorer
 
     scored = pairs.map_batches(
@@ -341,6 +342,9 @@ def link_documents(
 
     edges = scored.map_batches(to_edges, batch_format="pyarrow")
     nodes = jt.select_columns(["doc_id"])
+    # materialize: count() and take_all() would otherwise each re-execute
+    # the whole embed+block+score chain
+    edges = edges.materialize()
     n_edges = edges.count()
     use_distributed = (
         distributed_cc

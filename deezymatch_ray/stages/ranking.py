@@ -112,100 +112,167 @@ def _pair_scores(q_emb: np.ndarray, c_emb: np.ndarray, want_cosine: bool):
     return faiss_d.astype(np.float32), cos_d.astype(np.float32)
 
 
-def per_block_score(group: pd.DataFrame, *, cfg: EngineConfig,
-                    self_join: bool = False,
-                    keep_per_query: int | None = None) -> pd.DataFrame:
-    """map_groups fn over block_key groups of the unioned sides.
+def _stable_bucket(keys, num_buckets: int) -> np.ndarray:
+    """Process-stable hash buckets (crc32 — Python hash() is salted per
+    process, which would scatter one key across buckets)."""
+    import zlib
+
+    return np.fromiter(
+        (zlib.crc32(str(k).encode("utf-8")) % num_buckets for k in keys),
+        dtype=np.int64, count=len(keys),
+    )
+
+
+def bucketize(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int,
+              col: str = "__bucket") -> ray.data.Dataset:
+    """Append a stable hash-bucket column over one or more key columns.
+
+    Buckets bound the number of map_groups invocations: Ray's
+    map_groups calls the UDF once per group, so grouping directly on a
+    fine key (50k q-gram blocks, one million query ids) pays per-group
+    scheduling/pandas overhead that dwarfs the math. Grouping on
+    ``hash(key) % num_buckets`` keeps each key's rows together while the
+    UDF processes a whole bucket of groups vectorized."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(key_cols) == 1:
+            keys = batch[key_cols[0]].to_pylist()
+        else:
+            cols = [batch[c].to_pylist() for c in key_cols]
+            keys = ["\x1f".join(str(v) for v in row) for row in zip(*cols)]
+        return batch.append_column(col, pa.array(_stable_bucket(keys, num_buckets)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def score_block_bucket(df: pd.DataFrame, *, cfg: EngineConfig,
+                       self_join: bool = False,
+                       keep_per_query: int | None = None) -> pd.DataFrame:
+    """Score ALL blocks inside one hash bucket, vectorized across blocks.
 
     Emits (query_id, query, candidate_id, candidate, faiss_dist,
-    cosine_dist) for within-block query×candidate pairs; when the
+    cosine_dist) for within-block query×candidate pairs. Per-block
+    Python work is O(#blocks) tiny index constructions; every distance /
+    mask / top-k runs once over the bucket's full pair set. When the
     metric is distance-based, pairs over the selection threshold are
-    dropped here (they can never enter the final result — monotone
-    filter), bounding what the final shuffle carries. Used via
-    ``functools.partial`` (map_groups requires a plain function).
+    dropped here (monotone filter — they can never enter the final
+    result), bounding what the final shuffle carries. Per-(block, query)
+    pre-top-k is sound because global top-k ⊆ union of per-block top-k.
     """
-    if True:
-        r = cfg.ranking
-        keep = keep_per_query or cfg.ranking.num_candidates
+    r = cfg.ranking
+    keep = keep_per_query or r.num_candidates
+    out_cols = ["query_id", "query", "candidate_id", "candidate",
+                "faiss_dist", "cosine_dist"]
+    empty = pd.DataFrame({c: [] for c in out_cols})
+    if len(df) == 0:
+        return empty
+    if "__bucket" in df.columns:
+        df = df.drop(columns=["__bucket"])
+    df = df.sort_values("block_key", kind="stable").reset_index(drop=True)
+    bk = df["block_key"].to_numpy()
+    starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+    bounds = np.append(starts, len(df))
+    valid = df["emb_valid"].to_numpy()
+    roles = None if self_join else df["role"].to_numpy()
+    qi_parts, ci_parts = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        n = e - s
         if self_join:
-            qdf = cdf = group
+            if n < 2 or n > cfg.blocking.max_block_size:
+                continue
+            if n * (n - 1) // 2 > cfg.blocking.max_pairs_per_block:
+                continue
+            iu, il = np.triu_indices(n, 1)
+            qi_parts.append(iu + s)
+            ci_parts.append(il + s)
         else:
-            qdf = group[group["role"] == "q"]
-            cdf = group[group["role"] == "c"]
-        nq, nc = len(qdf), len(cdf)
-        empty = pd.DataFrame({c: [] for c in [
-            "query_id", "query", "candidate_id", "candidate",
-            "faiss_dist", "cosine_dist"]})
-        if nq == 0 or nc == 0:
-            return empty
-        if (
-            max(nq, nc) > cfg.blocking.max_block_size
-            or nq * nc > cfg.blocking.max_pairs_per_block
-        ):
-            # oversized block: a key this common carries no discriminative
-            # signal and would cost O(n²) — skip, per the documented skew
-            # policy (stages/blocking.py); surfaced via block_stats
-            return empty
-        q_emb = np.stack(qdf["emb"].to_numpy()).astype(np.float32)
-        c_emb = np.stack(cdf["emb"].to_numpy()).astype(np.float32)
-        qi, ci = np.repeat(np.arange(nq), nc), np.tile(np.arange(nc), nq)
-        if self_join:
-            m_lower = qi < ci  # unordered pairs once
-            qi, ci = qi[m_lower], ci[m_lower]
-        valid = qdf["emb_valid"].to_numpy()[qi] & cdf["emb_valid"].to_numpy()[ci]
-        qi, ci = qi[valid], ci[valid]
-        if len(qi) == 0:
-            return empty
-        want_cos = r.calc_cosine or r.ranking_metric == "cosine"
-        faiss_d, cos_d = _pair_scores(q_emb[qi], c_emb[ci], want_cos)
-        if r.length_diff is not None:
-            l1 = qdf["norm_text"].str.len().to_numpy()[qi]
-            l2 = cdf["norm_text"].str.len().to_numpy()[ci]
-            m = np.abs(l1 - l2) <= r.length_diff
-            qi, ci, faiss_d, cos_d = qi[m], ci[m], faiss_d[m], cos_d[m]
-        if r.ranking_metric in ("faiss", "cosine"):
-            metric = faiss_d if r.ranking_metric == "faiss" else cos_d
-            m = metric <= r.selection_threshold
-            qi, ci, faiss_d, cos_d = qi[m], ci[m], faiss_d[m], cos_d[m]
-        out = pd.DataFrame(
-            {
-                "query_id": qdf["id"].to_numpy()[qi],
-                "query": qdf["orig"].to_numpy()[qi],
-                "candidate_id": cdf["id"].to_numpy()[ci],
-                "candidate": cdf["orig"].to_numpy()[ci],
-                "faiss_dist": faiss_d,
-                "cosine_dist": cos_d,
-            }
-        )
-        if r.ranking_metric in ("faiss", "cosine") and len(out) > 0:
-            # per-block pre-top-k: global top-k ⊆ union of per-block top-k
-            mcol = _metric_column(r.ranking_metric)
-            out = (
-                out.sort_values([mcol, "candidate_id"], kind="stable")
-                .groupby("query_id", sort=False)
-                .head(keep)
-            )
-        return out
-
-
-def select_per_query(group: pd.DataFrame, *, cfg: EngineConfig) -> pd.DataFrame:
-    """Final per-query selection (groupby(query_id).map_groups): dedup
-    keep-lowest-metric-first (candidateRanker.py:483-492), threshold on
-    the ranking metric, stable sort, truncate, assign rank."""
-    if True:
-        r = cfg.ranking
+            qs = s + np.flatnonzero(roles[s:e] == "q")
+            cs = s + np.flatnonzero(roles[s:e] == "c")
+            if len(qs) == 0 or len(cs) == 0:
+                continue
+            if (max(len(qs), len(cs)) > cfg.blocking.max_block_size
+                    or len(qs) * len(cs) > cfg.blocking.max_pairs_per_block):
+                # oversized block: a key this common carries no signal and
+                # would cost O(n²) — skip per the documented skew policy
+                continue
+            qi_parts.append(np.repeat(qs, len(cs)))
+            ci_parts.append(np.tile(cs, len(qs)))
+    if not qi_parts:
+        return empty
+    qi = np.concatenate(qi_parts)
+    ci = np.concatenate(ci_parts)
+    m = valid[qi] & valid[ci]
+    qi, ci = qi[m], ci[m]
+    if len(qi) == 0:
+        return empty
+    emb = np.stack(df["emb"].to_numpy()).astype(np.float32)
+    want_cos = r.calc_cosine or r.ranking_metric == "cosine"
+    faiss_d, cos_d = _pair_scores(emb[qi], emb[ci], want_cos)
+    if r.length_diff is not None:
+        lens = df["norm_text"].str.len().to_numpy()
+        m = np.abs(lens[qi] - lens[ci]) <= r.length_diff
+        qi, ci, faiss_d, cos_d = qi[m], ci[m], faiss_d[m], cos_d[m]
+    if r.ranking_metric in ("faiss", "cosine"):
+        metric = faiss_d if r.ranking_metric == "faiss" else cos_d
+        m = metric <= r.selection_threshold
+        qi, ci, faiss_d, cos_d = qi[m], ci[m], faiss_d[m], cos_d[m]
+    if len(qi) == 0:
+        return empty
+    ids = df["id"].to_numpy()
+    origs = df["orig"].to_numpy()
+    out = pd.DataFrame({
+        "query_id": ids[qi], "query": origs[qi],
+        "candidate_id": ids[ci], "candidate": origs[ci],
+        "faiss_dist": faiss_d, "cosine_dist": cos_d,
+        "__bk": bk[qi],
+    })
+    if r.ranking_metric in ("faiss", "cosine"):
         mcol = _metric_column(r.ranking_metric)
-        asc = r.ranking_metric != "conf"
-        g = group.sort_values([mcol, "candidate_id"], ascending=[asc, True],
-                              kind="stable")
-        g = g.drop_duplicates(subset=["candidate_id"], keep="first")
-        if r.ranking_metric == "conf":
-            g = g[g["pred_score"] >= r.selection_threshold]
-        else:
-            g = g[g[mcol] <= r.selection_threshold]
-        g = g.head(r.num_candidates).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[[c for c in RANK_SCHEMA_COLS if c in g.columns]]
+        out = (
+            out.sort_values([mcol, "candidate_id"], kind="stable")
+            .groupby(["__bk", "query_id"], sort=False)
+            .head(keep)
+        )
+    return out.drop(columns=["__bk"]).reset_index(drop=True)
+
+
+def select_bucket(df: pd.DataFrame, *, cfg: EngineConfig) -> pd.DataFrame:
+    """Final per-query selection over a whole query-hash bucket: dedup
+    keep-lowest-metric-first (candidateRanker.py:483-492), threshold on
+    the ranking metric, stable sort, truncate, assign rank — one
+    vectorized pandas pass for every query in the bucket."""
+    r = cfg.ranking
+    mcol = _metric_column(r.ranking_metric)
+    asc = r.ranking_metric != "conf"
+    if "__bucket" in df.columns:
+        df = df.drop(columns=["__bucket"])
+    if len(df) == 0:
+        return pd.DataFrame({c: [] for c in RANK_SCHEMA_COLS})
+    g = df.sort_values(["query_id", mcol, "candidate_id"],
+                       ascending=[True, asc, True], kind="stable")
+    g = g.drop_duplicates(subset=["query_id", "candidate_id"], keep="first")
+    if r.ranking_metric == "conf":
+        g = g[g["pred_score"] >= r.selection_threshold]
+    else:
+        g = g[g[mcol] <= r.selection_threshold]
+    g = g.groupby("query_id", sort=False).head(r.num_candidates)
+    g = g.reset_index(drop=True)
+    g["rank"] = (g.groupby("query_id", sort=False).cumcount() + 1).astype(np.int32)
+    return g[[c for c in RANK_SCHEMA_COLS if c in g.columns]]
+
+
+def dedup_pairs(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """Drop duplicate (query_id, candidate_id) rows — the D1 pattern
+    (SURVEY §2.7): hash-bucket the pair key, vectorized drop_duplicates
+    per bucket. Distances are identical across a pair's blocks, so
+    keep-any is exact."""
+    keyed = bucketize(ds, ["query_id", "candidate_id"], num_buckets)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(subset=["query_id", "candidate_id"])
+        return out.drop(columns=["__bucket"])
+
+    return keyed.groupby("__bucket").map_groups(fn, batch_format="pandas")
 
 
 def _with_pred(pairs: ray.data.Dataset, cfg: EngineConfig, weights_ref, vocab_ref, meta):
@@ -259,15 +326,43 @@ def rank_blocked(
     keyed = both.map_batches(
         _KeyAndCarry(cfg), batch_format="pyarrow"
     )
-    pairs = keyed.groupby("block_key").map_groups(
-        functools.partial(per_block_score, cfg=cfg), batch_format="pandas"
-    )
+    pairs = blocked_pairs(keyed, cfg)
     if cfg.ranking.ranking_metric == "conf" or cfg.ranking.calc_predict:
+        # D1 dedup before the model pass: a pair surfaces once per shared
+        # block key with identical distances — scoring each copy would
+        # multiply the siamese forward cost by the key multiplicity
+        pairs = dedup_pairs(pairs, cfg.execution.shuffle_partitions)
         pairs = _with_pred(pairs, cfg, weights_ref, vocab_ref, meta)
     else:
         pairs = _ensure_pred_col(pairs)
-    return pairs.groupby("query_id").map_groups(
-        functools.partial(select_per_query, cfg=cfg), batch_format="pandas"
+    return rank_pairs(pairs, cfg)
+
+
+def blocked_pairs(
+    keyed: ray.data.Dataset, cfg: EngineConfig, self_join: bool = False,
+    keep_per_query: int | None = None,
+) -> ray.data.Dataset:
+    """keyed (block_key + payload) rows → scored within-block pairs.
+
+    Hash-buckets block keys (bounded map_groups invocations, vectorized
+    bucket scoring) and repartitions before the groupby so the sort
+    shuffle parallelizes regardless of upstream block count."""
+    P = cfg.execution.shuffle_partitions
+    b = bucketize(keyed, ["block_key"], P).repartition(P)
+    return b.groupby("__bucket").map_groups(
+        functools.partial(score_block_bucket, cfg=cfg, self_join=self_join,
+                          keep_per_query=keep_per_query),
+        batch_format="pandas",
+    )
+
+
+def rank_pairs(pairs: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """Final per-query dedup + threshold + top-k + rank over scored
+    pairs (bucketed by query hash; see bucketize)."""
+    P = cfg.execution.shuffle_partitions
+    b = bucketize(pairs, ["query_id"], P).repartition(P)
+    return b.groupby("__bucket").map_groups(
+        functools.partial(select_bucket, cfg=cfg), batch_format="pandas"
     )
 
 
@@ -332,9 +427,7 @@ def rank_global(
         pairs = _with_pred(pairs, cfg, weights_ref, vocab_ref, meta)
     else:
         pairs = _ensure_pred_col(pairs)
-    return pairs.groupby("query_id").map_groups(
-        functools.partial(select_per_query, cfg=cfg), batch_format="pandas"
-    )
+    return rank_pairs(pairs, cfg)
 
 
 class _GlobalTopK:
