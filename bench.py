@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-PAIRS_N = int(os.environ.get("GRAFT_BENCH_PAIRS", "60000"))
+PAIRS_N = int(os.environ.get("GRAFT_BENCH_PAIRS", "120000"))
 LINK_DOCS_N = int(os.environ.get("GRAFT_BENCH_LINK_DOCS", "4000"))
 
 
@@ -88,8 +88,11 @@ def bench_pair_scoring() -> dict:
             preprocessing=cfg.preprocessing, tokenization=cfg.tokenization,
         ),
         batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=(1, NUM_CPUS),
+        batch_size=512,  # ~200+ tasks: keeps a 32-actor pool load-balanced
+        # fixed pool pre-started up-front (autoscaling ramps one actor at
+        # a time and dominates short runs) sized cluster-minus-headroom:
+        # a pool equal to the cluster size starves the upstream read tasks
+        concurrency=max(1, NUM_CPUS - 2),
     )
     n = scored.count()
     dt = time.time() - t0
