@@ -213,7 +213,9 @@ def make_labeled_pairs(
     normalized 3-gram — the population the blocked scorer actually sees)
     and 50% random. ``max_variant`` matches ``make_documents``'s variant
     range so the training distribution covers the corpus distribution."""
-    n_entities = n_entities or max(4, n_pairs // 4)
+    # cap: the syllable name space saturates in the low hundreds of
+    # thousands, and generation slows sharply near saturation
+    n_entities = n_entities or max(4, min(n_pairs // 4, 50_000))
     names = make_entity_names(n_entities, seed)
     lowered = [n.lower() for n in names]
     # 3-gram index over bounded lowered names for hard-negative sampling
@@ -235,13 +237,20 @@ def make_labeled_pairs(
         else:  # negative
             e1 = int(rng.integers(0, n_entities))
             if i % 4 == 1:  # hard negative: shares a blocking 3-gram
+                # sample ONE random shared gram's posting list (O(1) per
+                # pair; unioning every gram's list is quadratic at scale)
                 b = f"|{lowered[e1]}|"
-                cands: set[int] = set()
-                for g in {b[j : j + 3] for j in range(len(b) - 2)}:
-                    cands.update(gram_index.get(g, ()))
-                cands.discard(e1)
-                pool = sorted(cands)
-                e2 = pool[int(rng.integers(0, len(pool)))] if pool else (e1 + 1) % n_entities
+                grams = sorted({b[j : j + 3] for j in range(len(b) - 2)})
+                e2 = e1
+                for _ in range(4):  # few retries if we drew e1 itself
+                    g = grams[int(rng.integers(0, len(grams)))]
+                    pool = gram_index.get(g, ())
+                    cand = pool[int(rng.integers(0, len(pool)))]
+                    if cand != e1:
+                        e2 = cand
+                        break
+                if e2 == e1:
+                    e2 = (e1 + 1) % n_entities
             else:
                 e2 = int(rng.integers(0, n_entities))
                 if e2 == e1:
