@@ -87,6 +87,11 @@ class BlockingConfig:
     # Hard cap on pairs generated per (possibly salted) block; overflow is
     # counted in metrics, never dropped silently.
     max_pairs_per_block: int = 262_144
+    # Self-join blocks larger than max_block_size are tile-salted into up
+    # to this many groups (s(s+1)/2 tiles); blocks needing more tiles are
+    # dropped and surfaced via block stats.
+    salt_max_tiles: int = 32
+    salt_hot_blocks: bool = True
 
 
 @dataclass(frozen=True)

@@ -173,11 +173,24 @@ def score_block_bucket(df: pd.DataFrame, *, cfg: EngineConfig,
     starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
     bounds = np.append(starts, len(df))
     valid = df["emb_valid"].to_numpy()
-    roles = None if self_join else df["role"].to_numpy()
+    has_roles = "role" in df.columns
+    roles = df["role"].to_numpy() if has_roles else None
     qi_parts, ci_parts = [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         n = e - s
         if self_join:
+            # salted cross-tiles carry two roles (q = lower tile group,
+            # c = upper); plain blocks / diagonal tiles are all-"q"
+            if has_roles and (roles[s:e] == "c").any():
+                qs = s + np.flatnonzero(roles[s:e] == "q")
+                cs = s + np.flatnonzero(roles[s:e] == "c")
+                if (len(qs) == 0 or len(cs) == 0
+                        or max(len(qs), len(cs)) > cfg.blocking.max_block_size
+                        or len(qs) * len(cs) > cfg.blocking.max_pairs_per_block):
+                    continue
+                qi_parts.append(np.repeat(qs, len(cs)))
+                ci_parts.append(np.tile(cs, len(qs)))
+                continue
             if n < 2 or n > cfg.blocking.max_block_size:
                 continue
             if n * (n - 1) // 2 > cfg.blocking.max_pairs_per_block:
@@ -205,6 +218,16 @@ def score_block_bucket(df: pd.DataFrame, *, cfg: EngineConfig,
     qi, ci = qi[m], ci[m]
     if len(qi) == 0:
         return empty
+    if self_join:
+        # canonical orientation (query_id < candidate_id): row order inside
+        # a block is partition-dependent, so the same unordered pair could
+        # otherwise surface in both orientations from different blocks and
+        # evade dedup_pairs
+        pair_ids = df["id"].to_numpy()
+        swap = pair_ids[qi] > pair_ids[ci]
+        qi2 = np.where(swap, ci, qi)
+        ci2 = np.where(swap, qi, ci)
+        qi, ci = qi2, ci2
     emb = np.stack(df["emb"].to_numpy()).astype(np.float32)
     want_cos = r.calc_cosine or r.ranking_metric == "cosine"
     faiss_d, cos_d = _pair_scores(emb[qi], emb[ci], want_cos)
@@ -338,6 +361,74 @@ def rank_blocked(
     return rank_pairs(pairs, cfg)
 
 
+def salt_hot_blocks(
+    keyed: ray.data.Dataset, cfg: EngineConfig, id_col: str = "id",
+) -> ray.data.Dataset:
+    """Skew-aware repartitioning of hot self-join blocks (SURVEY §4).
+
+    A block of n > max_block_size members is tile-decomposed: members
+    hash into s = ceil(n / max_block_size) groups; each member is
+    re-emitted once per tile it participates in (key "k␟tile:a-b",
+    role q for the lower group, c for the upper), so every unordered
+    within-block pair is produced by exactly one tile and every tile is
+    at most max_block_size × max_block_size work — the quadratic hot key
+    becomes s(s+1)/2 bounded tasks spread across the shuffle. Blocks
+    needing more than ``salt_max_tiles`` groups are dropped (their key
+    carries no signal at that frequency) and remain visible in the
+    block-size histogram (stages/blocking.block_stats).
+    """
+    import math
+    import zlib
+
+    from ray.data.aggregate import Count
+
+    sizes = keyed.groupby("block_key").aggregate(Count(alias_name="n"))
+    cap = cfg.blocking.max_block_size
+    hot_rows = sizes.filter(expr=f"n > {cap}").take_all()
+    if not hot_rows:
+        return keyed
+    max_tiles = cfg.blocking.salt_max_tiles
+    hot = {
+        r["block_key"]: math.ceil(r["n"] / cap)
+        for r in hot_rows
+        if math.ceil(r["n"] / cap) <= max_tiles
+    }
+    hot_ref = ray.put(hot)
+    dropped = {r["block_key"] for r in hot_rows} - set(hot)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hot_map = ray.get(hot_ref)
+        keys = df["block_key"].to_numpy()
+        is_hot = np.array([k in hot_map for k in keys])
+        cold = df[~is_hot].copy()
+        cold["role"] = "q"
+        out = [cold[~cold["block_key"].isin(dropped)]] if dropped else [cold]
+        hdf = df[is_hot]
+        if len(hdf):
+            ids = hdf[id_col].astype(str).to_numpy()
+            hkeys = hdf["block_key"].to_numpy()
+            s_per = np.array([hot_map[k] for k in hkeys], dtype=np.int64)
+            g_per = np.array(
+                [zlib.crc32(x.encode()) % s for x, s in zip(ids, s_per)],
+                dtype=np.int64,
+            )
+            rep = np.repeat(np.arange(len(hdf)), s_per)
+            o_vals = np.concatenate([np.arange(s) for s in s_per])
+            g_rep = g_per[rep]
+            a = np.minimum(g_rep, o_vals)
+            b = np.maximum(g_rep, o_vals)
+            new_keys = [f"{k}\x1ftile:{x}-{y}"
+                        for k, x, y in zip(hkeys[rep], a, b)]
+            roles = np.where(g_rep == a, "q", "c")
+            exploded = hdf.iloc[rep].copy()
+            exploded["block_key"] = new_keys
+            exploded["role"] = roles
+            out.append(exploded)
+        return pd.concat(out) if out else df.iloc[:0]
+
+    return keyed.map_batches(explode, batch_format="pandas")
+
+
 def blocked_pairs(
     keyed: ray.data.Dataset, cfg: EngineConfig, self_join: bool = False,
     keep_per_query: int | None = None,
@@ -346,7 +437,10 @@ def blocked_pairs(
 
     Hash-buckets block keys (bounded map_groups invocations, vectorized
     bucket scoring) and repartitions before the groupby so the sort
-    shuffle parallelizes regardless of upstream block count."""
+    shuffle parallelizes regardless of upstream block count. Self-join
+    inputs get hot blocks tile-salted first (salt_hot_blocks)."""
+    if self_join and cfg.blocking.salt_hot_blocks:
+        keyed = salt_hot_blocks(keyed, cfg)
     P = cfg.execution.shuffle_partitions
     b = bucketize(keyed, ["block_key"], P).repartition(P)
     return b.groupby("__bucket").map_groups(

@@ -167,3 +167,68 @@ def test_conf_metric_mode(model_dir, qc_tables):
     got_pairs = set(zip(got["query_id"], got["candidate_id"]))
     want_pairs = set(zip(want["query_id"], want["candidate_id"]))
     assert got_pairs == want_pairs
+
+
+def test_salted_hot_block_produces_exact_pair_set():
+    """Tile-salting must yield every unordered within-block pair exactly
+    once — identical to the unsalted computation with a raised cap."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    from deezymatch_ray.stages.ranking import blocked_pairs
+
+    n = 30
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((n, 4)).astype(np.float32)
+    keyed = ray.data.from_arrow(pa.table({
+        "block_key": pa.array(["hot"] * n),
+        "id": pa.array([f"d{i:03d}" for i in range(n)]),
+        "orig": pa.array([f"name{i}" for i in range(n)]),
+        "norm_text": pa.array([f"name{i}" for i in range(n)]),
+        "emb": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), 4),
+        "emb_valid": pa.array([True] * n),
+    }))
+    base = DEFAULT_CONFIG.replace(
+        ranking=dataclasses.replace(
+            DEFAULT_CONFIG.ranking, selection_threshold=1e9,
+            num_candidates=10**6),
+    )
+    cfg_salt = base.replace(
+        blocking=dataclasses.replace(base.blocking, max_block_size=8,
+                                     salt_hot_blocks=True))
+    cfg_plain = base.replace(
+        blocking=dataclasses.replace(base.blocking, max_block_size=10_000,
+                                     salt_hot_blocks=False))
+    got = blocked_pairs(keyed, cfg_salt, self_join=True).to_pandas()
+    want = blocked_pairs(keyed, cfg_plain, self_join=True).to_pandas()
+    key = lambda df: sorted(zip(df.query_id, df.candidate_id))
+    assert len(got) == len(want) == n * (n - 1) // 2
+    assert key(got) == key(want)
+    assert not got.duplicated(subset=["query_id", "candidate_id"]).any()
+    m = got.merge(want, on=["query_id", "candidate_id"], suffixes=("_s", "_p"))
+    np.testing.assert_allclose(m["faiss_dist_s"], m["faiss_dist_p"], atol=1e-6)
+
+
+def test_hot_block_beyond_salt_cap_is_dropped_not_wedged():
+    import dataclasses
+
+    import pyarrow as pa
+
+    from deezymatch_ray.stages.ranking import blocked_pairs
+
+    n = 40
+    emb = np.zeros((n, 4), dtype=np.float32)
+    keyed = ray.data.from_arrow(pa.table({
+        "block_key": pa.array(["huge"] * n),
+        "id": pa.array([f"d{i}" for i in range(n)]),
+        "orig": pa.array(["x"] * n),
+        "norm_text": pa.array(["x"] * n),
+        "emb": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), 4),
+        "emb_valid": pa.array([True] * n),
+    }))
+    cfg = DEFAULT_CONFIG.replace(
+        blocking=dataclasses.replace(DEFAULT_CONFIG.blocking,
+                                     max_block_size=4, salt_max_tiles=2,
+                                     salt_hot_blocks=True))
+    assert blocked_pairs(keyed, cfg, self_join=True).count() == 0
