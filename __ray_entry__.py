@@ -120,7 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": A.q_pricing_summary,
         "top_customers": A.q_top_customers,
         "events_hourly": A.q_events_hourly,
+        "user_sessions": A.q_user_sessions,
         "nation_balance": A.q_nation_balance,
+        # multimodal plumbing (rows-only: codec is a sandbox stub)
+        "media_features": A.q_media_features,
         # model-based pipelines (rows-only checks)
         "rank_part_names": _q_rank_part_names,
         "link_clusters": _q_link_clusters,
@@ -219,6 +222,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
             "round(sum(value), 2) AS sum_value, min(value) AS min_value, "
             "max(value) AS max_value FROM events GROUP BY 1, 2"
+        ),
+        "user_sessions": (
+            "WITH x AS (SELECT user_id, event_id, ts, CASE WHEN "
+            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+            "FROM x) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end "
+            "FROM s GROUP BY user_id, session_id"
         ),
         "nation_balance": (
             "SELECT n_name, round(avg(s_acctbal), 2) AS avg_bal, "

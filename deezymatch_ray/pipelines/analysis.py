@@ -332,6 +332,64 @@ def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def q_user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization of the event stream (session = run of a
+    user's events with < 30 min between consecutive ones) — the
+    order-sensitive windowed op: per-user sort + cumulative boundary
+    sum inside map_groups, vectorized."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        brk = np.concatenate([[0], (gaps > gap_us).astype(np.int64)])
+        sid = np.cumsum(brk)
+        g = g.assign(session_id=sid)
+        out = g.groupby("session_id", sort=False).agg(
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        ).reset_index()
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "n_events",
+                    "session_start", "session_end"]]
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_media_features(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal plumbing over driver data: media refs from the
+    interleaved spans → deterministic fake media store → decode actor
+    pool → (media_ref, mime, decode_ok). Rows-only check (the codec is
+    a sandbox stub; see stages/multimodal.py)."""
+    import pyarrow.compute as _pc
+
+    from deezymatch_ray.sources.spans import flat_docs_to_spans
+    from deezymatch_ray.stages.multimodal import decode_media, make_media_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        flat_docs_to_spans, batch_format="pyarrow"
+    )
+
+    def refs(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        v = spans.flatten()
+        m = v.filter(_pc.equal(v.field("kind"), "media"))
+        return pa.table({"media_ref": m.field("media_ref")})
+
+    media_refs = [
+        r for b in docs.map_batches(refs, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        for r in b["media_ref"].to_pylist()
+    ]
+    media = ray.data.from_arrow(make_media_table(sorted(media_refs), seed=42))
+    out = decode_media(media, dim=32)
+    return out.select_columns(["media_ref", "mime", "decode_ok"])
+
+
 def q_nation_balance(sf_dir: str) -> ray.data.Dataset:
     """Two-table join + mean aggregate (broadcast-small-side shape)."""
     sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])

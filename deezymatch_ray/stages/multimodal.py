@@ -1,0 +1,189 @@
+"""Multimodal span payloads: opaque binary columns + typed metadata.
+
+The input documents interleave text and media spans (``media_ref``
+pointing at a media store). This module makes the media side a
+first-class pipeline citizen:
+
+- ``MEDIA_SCHEMA``: ``(media_ref, mime, width, height, duration_ms,
+  content: binary)`` — payload is an opaque binary column; Ray/Arrow
+  moves it zero-copy, and ``batch_size`` is the memory knob (large
+  payloads → small batches; see ``media_batch_size``).
+- ``MediaDecoder`` / ``ImageResizer`` / ``FrameSampler``: actor-pool
+  ``map_batches`` stages with REAL Ray-side plumbing (schema, batching,
+  actor lifecycle). The pixel codecs themselves are not installable in
+  this sandbox, so the decode kernel is STUBBED: ``backend="fake"``
+  (default) derives deterministic per-payload features from a blake2b
+  digest — stable across actors/runs, so the stages are fully testable —
+  while ``backend="pil"``-style real codecs raise ``NotImplementedError``
+  with the integration point documented.
+
+Design note (SURVEY §7.4 wide-row rule): media bytes NEVER enter the
+text blocking/scoring stages; they join back by ``media_ref`` only at
+final output or flow through their own feature stages below.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("mime", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+    ("content", pa.binary()),
+])
+
+
+def media_batch_size(max_payload_bytes: int, worker_heap_bytes: int = 512 << 20) -> int:
+    """Size batches so batch × payload fits a worker heap with 4× slack."""
+    return max(1, worker_heap_bytes // max(4 * max_payload_bytes, 1))
+
+
+def make_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
+    """Deterministic fake media store for the given refs: payload bytes,
+    dims and mime derived from a seeded digest of the ref (no external
+    data; stable across processes)."""
+    mimes, widths, heights, durs, contents = [], [], [], [], []
+    for ref in media_refs:
+        d = hashlib.blake2b(f"{seed}:{ref}".encode(), digest_size=16).digest()
+        kind = d[0] % 3
+        mimes.append(("image/png", "audio/wav", "video/mp4")[kind])
+        widths.append(0 if kind == 1 else 16 + d[1] % 64)
+        heights.append(0 if kind == 1 else 16 + d[2] % 64)
+        durs.append(0 if kind == 0 else 1000 + int.from_bytes(d[3:5], "big") % 30_000)
+        n = 256 + int.from_bytes(d[5:7], "big") % 1024
+        contents.append(hashlib.blake2b(d, digest_size=32).digest() * (n // 32 + 1))
+    return pa.table({
+        "media_ref": pa.array(media_refs, type=pa.string()),
+        "mime": pa.array(mimes, type=pa.string()),
+        "width": pa.array(widths, type=pa.int32()),
+        "height": pa.array(heights, type=pa.int32()),
+        "duration_ms": pa.array(durs, type=pa.int32()),
+        "content": pa.array(contents, type=pa.binary()),
+    }, schema=MEDIA_SCHEMA)
+
+
+def _fake_features(content: bytes, dim: int) -> np.ndarray:
+    """Deterministic unit-norm feature vector from the payload digest —
+    the stand-in for a real encoder's embedding."""
+    out = np.empty(dim, dtype=np.float32)
+    i = 0
+    counter = 0
+    while i < dim:
+        d = hashlib.blake2b(content + counter.to_bytes(4, "big"), digest_size=32).digest()
+        chunk = (np.frombuffer(d, dtype=np.uint8).astype(np.float32) - 127.5) / 128.0
+        take = min(dim - i, len(chunk))
+        out[i : i + take] = chunk[:take]
+        i += take
+        counter += 1
+    return out / max(np.linalg.norm(out), 1e-9)
+
+
+class MediaDecoder:
+    """Actor stage: (media_ref, mime, content, …) → append ``features``
+    fixed_size_list<float32>[dim] + ``decode_ok`` bool.
+
+    ``backend="fake"`` (sandbox default): digest-derived deterministic
+    features. Real codec backends plug in here — the ONLY change needed
+    is this class's ``_decode`` (the Ray plumbing stays identical)."""
+
+    def __init__(self, dim: int = 64, backend: str = "fake"):
+        self.dim = dim
+        if backend != "fake":
+            raise NotImplementedError(
+                f"backend={backend!r}: image/audio codecs are not installable "
+                "in this sandbox; implement _decode() with PIL/torchaudio/"
+                "pyav here — the surrounding actor-pool stage is unchanged"
+            )
+        self.backend = backend
+
+    def _decode(self, content: bytes | None, mime: str) -> np.ndarray | None:
+        if not content:
+            return None
+        return _fake_features(content, self.dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch["content"].to_pylist()
+        mimes = batch["mime"].to_pylist()
+        feats = np.zeros((len(contents), self.dim), dtype=np.float32)
+        ok = np.zeros(len(contents), dtype=bool)
+        for i, (c, m) in enumerate(zip(contents, mimes)):
+            f = self._decode(c, m)
+            if f is not None:
+                feats[i] = f
+                ok[i] = True
+        col = pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1)), self.dim)
+        batch = batch.append_column("features", col)
+        return batch.append_column("decode_ok", pa.array(ok))
+
+
+class ImageResizer:
+    """Actor stage: images → append (out_width, out_height) metadata of
+    an aspect-preserving fit into ``max_side`` × ``max_side``; non-images
+    pass through with nulls. The pixel resample itself is part of the
+    stubbed codec; the metadata math and schema handling are real."""
+
+    def __init__(self, max_side: int = 32):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["width"].to_pylist(), dtype=np.float64)
+        h = np.asarray(batch["height"].to_pylist(), dtype=np.float64)
+        mimes = batch["mime"].to_pylist()
+        is_img = np.array([m.startswith("image/") for m in mimes])
+        scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))
+        ow = np.where(is_img, np.maximum(1, np.round(w * scale)), 0).astype(np.int32)
+        oh = np.where(is_img, np.maximum(1, np.round(h * scale)), 0).astype(np.int32)
+        batch = batch.append_column("out_width", pa.array(ow))
+        return batch.append_column("out_height", pa.array(oh))
+
+
+class FrameSampler:
+    """Actor stage: videos → EXPLODE to one row per sampled frame
+    (media_ref, frame_idx, ts_ms), evenly spaced over duration_ms;
+    non-videos emit no rows. More rows out than in — the vectorized
+    flat_map shape."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        mimes = batch["mime"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        out_ref, out_idx, out_ts = [], [], []
+        for r, m, d in zip(refs, mimes, durs):
+            if not m.startswith("video/") or not d:
+                continue
+            for k in range(self.n_frames):
+                out_ref.append(r)
+                out_idx.append(k)
+                out_ts.append(int(d * (k + 0.5) / self.n_frames))
+        return pa.table({
+            "media_ref": pa.array(out_ref, type=pa.string()),
+            "frame_idx": pa.array(out_idx, type=pa.int32()),
+            "ts_ms": pa.array(out_ts, type=pa.int32()),
+        })
+
+
+def decode_media(
+    media: ray.data.Dataset,
+    dim: int = 64,
+    concurrency: tuple[int, int] = (1, 8),
+    batch_size: int | None = 64,
+) -> ray.data.Dataset:
+    """The decode stage wired as an actor pool (small batches: payloads
+    are large; see media_batch_size)."""
+    return media.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs=dict(dim=dim),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
