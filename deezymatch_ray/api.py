@@ -43,7 +43,7 @@ from deezymatch_ray.functions.metrics import classification_metrics, confusion_c
 from deezymatch_ray.functions.text import encode_strings, normalize_string
 from deezymatch_ray.model.chargru import init_weights, load_weights, save_weights
 from deezymatch_ray.model.train import SiameseTrainer, fit
-from deezymatch_ray.model.vocab import build_vocab_local, load_vocab, save_vocab
+from deezymatch_ray.model.vocab import load_vocab, save_vocab
 from deezymatch_ray.pipelines.linkage import load_model_artifacts
 from deezymatch_ray.sources.pairs import read_pairs_tsv, stratified_split
 from deezymatch_ray.stages.ranking import rank_blocked, rank_global
@@ -110,15 +110,21 @@ def train(
     else:
         import pyarrow as pa
 
+        from deezymatch_ray.functions.text import normalize_array
+        from deezymatch_ray.model.vocab import build_vocab_distributed
+
         prep, tok = cfg.preprocessing, cfg.tokenization
-        texts = [
-            normalize_string(s, prep.uni2ascii, prep.lowercase, prep.strip,
-                             prep.only_latin_letters)
-            for b in pairs_ds.iter_batches(batch_format="pyarrow")
-            for col in ("s1", "s2") for s in b[col].to_pylist()
-        ]
-        tok2index, counts = build_vocab_local(
-            texts, tokenize=tok.tokenize, min_gram=tok.min_gram,
+
+        def norm_cols(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                c: normalize_array(batch[c], prep.uni2ascii, prep.lowercase,
+                                   prep.strip, prep.only_latin_letters)
+                for c in ("s1", "s2")
+            })
+
+        tok2index, counts = build_vocab_distributed(
+            pairs_ds.map_batches(norm_cols, batch_format="pyarrow"),
+            tokenize=tok.tokenize, min_gram=tok.min_gram,
             max_gram=tok.max_gram, token_sep=tok.token_sep,
             prefix_suffix=tok.prefix_suffix,
         )

@@ -138,3 +138,63 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+def from_yaml(path: str) -> EngineConfig:
+    """S3: load a reference-style YAML config (input_dfm.yaml layout,
+    read by the reference at utils.py:514-560) into the typed tree.
+    Unknown keys are ignored; learning rate is coerced to float exactly
+    like the reference (utils.py:524-526)."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    gl = raw.get("gru_lstm", {})
+    prep_raw = raw.get("preprocessing", {})
+    mode = gl.get("mode", {})
+    tokenize = mode.get("tokenize") or ["char"]
+    prefix_suffix = mode.get("prefix_suffix") or ["<", ">"]
+    prep = PreprocessingConfig(
+        uni2ascii=bool(prep_raw.get("uni2ascii", True)),
+        lowercase=bool(prep_raw.get("lowercase", True)),
+        strip=bool(prep_raw.get("strip", True)),
+        only_latin_letters=bool(prep_raw.get("only_latin_letters", False)),
+        missing_char_threshold=float(
+            prep_raw.get("missing_char_threshold", 0.5)),
+    )
+    tok = TokenizationConfig(
+        tokenize=tuple(tokenize),
+        prefix_suffix=tuple(prefix_suffix) if len(prefix_suffix) == 2 else ("", ""),
+        min_gram=int(mode.get("min_gram", 2)),
+        max_gram=int(mode.get("max_gram", 3)),
+        token_sep=mode.get("token_sep", "default"),
+        max_seq_len=int(gl.get("max_seq_len", 120)),
+    )
+    fc_dropout = gl.get("fc_dropout", [0.01, 0.01])
+    att_dropout = gl.get("att_dropout", [0.01, 0.01])
+    model = ModelConfig(
+        main_architecture=gl.get("main_architecture", "gru"),
+        bidirectional=bool(gl.get("bidirectional", True)),
+        num_layers=int(gl.get("rnn_n_layers", 2)),
+        embedding_dim=int(gl.get("embedding_dim", 60)),
+        rnn_hidden_dim=int(gl.get("rnn_hidden_dim", 60)),
+        fc1_out_dim=int(gl.get("fc1_out_dim", 120)),
+        output_dim=int(gl.get("rnn_output_dim", 2)),
+        pooling_mode=gl.get("pooling_mode", "hstates_layers_simple"),
+        rnn_dropout=float(gl.get("rnn_dropout", 0.01)),
+        fc_dropout=tuple(float(x) for x in fc_dropout),
+        att_dropout=tuple(float(x) for x in att_dropout),
+        bias=bool(gl.get("bias", True)),
+        learning_rate=float(gl.get("learning_rate", 0.001)),
+        epochs=int(gl.get("epochs", 5)),
+        batch_size=int(gl.get("batch_size", 256)),
+        dl_shuffle=bool(gl.get("dl_shuffle", True)),
+        random_seed=int(gl.get("random_seed", 123)),
+        early_stopping_patience=int(gl.get("early_stopping_patience", -1)),
+        validation=int(gl.get("validation", 1)),
+        train_proportion=float(gl.get("train_proportion", 0.7)),
+        val_proportion=float(gl.get("val_proportion", 0.15)),
+        test_proportion=float(gl.get("test_proportion", 0.15)),
+        layers_to_freeze=tuple(gl.get("layers_to_freeze", [])),
+    )
+    return EngineConfig(preprocessing=prep, tokenization=tok, model=model)

@@ -54,6 +54,49 @@ def build_vocab_local(
     return assign_indices(dict(counts)), dict(counts)
 
 
+def build_vocab_distributed(
+    ds,
+    text_cols: Sequence[str] = ("s1", "s2"),
+    tokenize: Sequence[str] = ("char", "ngram"),
+    min_gram: int = 2,
+    max_gram: int = 3,
+    token_sep: str = "default",
+    prefix_suffix=("<", ">"),
+    seed_tokens: Iterable[str] = (),
+) -> tuple[dict[str, int], dict[str, int]]:
+    """A2 as a Ray pipeline: per-batch token Counters (combiner) →
+    groupby(token).sum → driver collects the (small) token table and
+    assigns deterministic indices. ``seed_tokens`` unions in the
+    reference's pre-seeded char list (D3, data_processing.py:219-228)."""
+    from ray.data.aggregate import Sum
+
+    from deezymatch_ray.functions.text import string_split
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        for col in text_cols:
+            for s in batch[col].to_pylist():
+                if s is not None:
+                    c.update(string_split(
+                        s, tokenize=tokenize, min_gram=min_gram,
+                        max_gram=max_gram, token_sep=token_sep,
+                        prefix_suffix=prefix_suffix))
+        return pa.table({
+            "token": pa.array(list(c.keys()), type=pa.string()),
+            "partial": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    counts = {r["token"]: int(r["n"]) for r in agg.take_all()}
+    for t in seed_tokens:
+        counts.setdefault(t, 0)
+    return assign_indices(counts), counts
+
+
 def vocab_to_table(tok2index: dict[str, int], tok2count: dict[str, int] | None = None) -> pa.Table:
     toks = sorted(tok2index, key=tok2index.__getitem__)
     return pa.table(

@@ -173,3 +173,37 @@ def test_api_candidate_ranker(tiny_model_dir):
     for i in range(20):
         assert top.loc[f"c{i:02d}", "candidate_id"] == f"c{i:02d}"  # self-match
         assert top.loc[f"c{i:02d}", "faiss_dist"] < 1e-6
+
+
+def test_from_yaml_parses_reference_config():
+    """S3: the reference's own shipped YAML loads into the typed tree."""
+    from deezymatch_ray.config import from_yaml
+
+    cfg = from_yaml("/root/reference/inputs/input_dfm.yaml")
+    assert cfg.tokenization.tokenize == ("char", "ngram")
+    assert cfg.tokenization.prefix_suffix == ("<", ">")
+    assert cfg.model.main_architecture == "gru"
+    assert cfg.model.rnn_hidden_dim == 60
+    assert cfg.model.pooling_mode == "hstates_layers_simple"
+    assert cfg.model.learning_rate == 0.001
+    assert cfg.model.layers_to_freeze == ("emb", "rnn_1", "attn")
+
+
+def test_build_vocab_distributed_matches_local():
+    from deezymatch_ray.model.vocab import build_vocab_distributed, build_vocab_local
+
+    tbl = pa.table({
+        "s1": pa.array(["abc", "abd", "xyz"]),
+        "s2": pa.array(["abc", "zz", "aøé"]),
+    })
+    d_idx, d_cnt = build_vocab_distributed(
+        ray.data.from_arrow(tbl), tokenize=("char",), prefix_suffix=("<", ">"),
+        seed_tokens=["Q"],
+    )
+    l_idx, l_cnt = build_vocab_local(
+        ["abc", "abd", "xyz", "abc", "zz", "aøé"], tokenize=("char",),
+        prefix_suffix=("<", ">"), seed_tokens=["Q"],
+    )
+    assert d_idx == l_idx
+    assert d_cnt == l_cnt
+    assert "Q" in d_idx  # D3: seed list unioned in
