@@ -105,14 +105,16 @@ def train_model(
     dist = ((e1 - e2) ** 2).sum(axis=1)
     yv = y[n_train:]
     pos_d = dist[yv == 1]
-    faiss_thr = float(np.percentile(pos_d, 75)) if len(pos_d) else 10.0
+    faiss_thr = float(np.percentile(pos_d, 90)) * 1.75 if len(pos_d) else 10.0
     p1 = model.match_probability(x1[n_train:], l1[n_train:], x2[n_train:], l2[n_train:])
+    # 0.97 model-level precision suffices: the classical agreement gate
+    # (jw/lev) multiplies in the rest before an edge is accepted
     conf_thr = 0.95
     for t in (0.5, 0.8, 0.9, 0.95, 0.99, 0.995, 0.999):
         sel = p1 >= t
         tp = int((sel & (yv == 1)).sum())
         fp = int((sel & (yv == 0)).sum())
-        if tp + fp > 0 and tp / (tp + fp) >= 0.99:
+        if tp + fp > 0 and tp / (tp + fp) >= 0.97:
             conf_thr = t
             break
     meta = {
@@ -141,6 +143,12 @@ def load_model_artifacts(model_dir: str):
     """Returns (weights_ref, vocab_ref, meta, model_cfg) with the arrays
     broadcast into the object store (one copy cluster-wide)."""
     weights, meta = load_weights(os.path.join(model_dir, "model.npz"))
+    # meta.json (if present) overrides the npz-embedded copy — it is the
+    # editable calibration surface (thresholds/gates), the npz is frozen
+    meta_path = os.path.join(model_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = {**meta, **json.load(f)}
     tok2index = load_vocab(os.path.join(model_dir, "vocab.parquet"))
     cfg = DEFAULT_CONFIG.replace(
         tokenization=DEFAULT_CONFIG.tokenization.__class__(
