@@ -225,7 +225,7 @@ def q_rank_by_levenshtein(sf_dir: str) -> ray.data.Dataset:
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["lev", "s_suppkey"], kind="stable").head(5)
         g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["c_custkey", "s_suppkey", "lev", "rank"]]
 
     scored = cust.map_batches(score, batch_format="pyarrow")

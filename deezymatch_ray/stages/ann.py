@@ -75,7 +75,7 @@ def brute_force_topk(
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["sim", "candidate_id"], ascending=[False, True],
                               kind="stable").head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "candidate_id", "rank"]]
 
     local = candidates.map_batches(local_topk, batch_format="pyarrow")
@@ -182,7 +182,7 @@ def ivf_topk(
         g = group.drop_duplicates(subset=["candidate_id"])
         g = g.sort_values(["sim", "candidate_id"], ascending=[False, True],
                           kind="stable").head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "candidate_id", "rank"]]
 
     local = candidates.map_batches(local_topk, batch_format="pyarrow")
