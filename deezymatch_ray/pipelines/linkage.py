@@ -209,42 +209,75 @@ def cluster_near_dup_documents(
     cand = minhash_lsh_near_dup(
         docs, text_col=text_col, id_col=id_col, n=shingle_n, k=minhash_k,
         n_bands=n_bands, threshold=0.0,
-    )
-    # verify candidates with exact jaccard — join texts back by id via
-    # broadcast of the candidate pair list is unnecessary: re-derive both
-    # docs' shingle sets inside a hash join of the pair table to the docs
-    # two joins read texts — materialize once
-    texts = docs.select_columns([id_col, text_col]).materialize()
-    j1 = cand.join(texts, join_type="inner", num_partitions=16,
-                   on=("doc_a",), right_on=(id_col,))
-    # explicit projection between joins: leftover right-side columns make
-    # the second join's key reference ambiguous
-    j1 = j1.map_batches(
-        lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
-                            "text_a": b[text_col]}),
-        batch_format="pyarrow",
-    )
-    j2 = j1.join(texts, join_type="inner", num_partitions=16,
-                 on=("doc_b",), right_on=(id_col,))
+    ).materialize()
+    n_cand = cand.count()
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ta = batch["text_a"].to_pylist()
-        tb = batch[text_col].to_pylist()
-        a_ids = batch["doc_a"].to_pylist()
-        b_ids = batch["doc_b"].to_pylist()
-        src, dst = [], []
-        for i in range(len(ta)):
-            sa = set(word_shingles(ta[i] or "", shingle_n))
-            sb = set(word_shingles(tb[i] or "", shingle_n))
-            if not sa or not sb:
-                continue
-            inter = len(sa & sb)
-            if inter / (len(sa) + len(sb) - inter) >= jaccard_threshold:
-                src.append(a_ids[i])
-                dst.append(b_ids[i])
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    def _exact_ok(ta, tb):
+        sa = set(word_shingles(ta or "", shingle_n))
+        sb = set(word_shingles(tb or "", shingle_n))
+        if not sa or not sb:
+            return False
+        inter = len(sa & sb)
+        return inter / (len(sa) + len(sb) - inter) >= jaccard_threshold
 
-    edges = j2.map_batches(verify, batch_format="pyarrow").materialize()
+    if n_cand <= 500_000:
+        # small candidate set: broadcast the involved texts instead of two
+        # hash joins (join actor spin-up dwarfs the work at this size)
+        involved = set()
+        for r in cand.iter_rows():
+            involved.add(r["doc_a"])
+            involved.add(r["doc_b"])
+        inv_ref = ray.put(involved)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            inv = ray.get(inv_ref)
+            mask = pa.array([v in inv for v in batch[id_col].to_pylist()])
+            return batch.select([id_col, text_col]).filter(mask)
+
+        tmap: dict = {}
+        for b in docs.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            tmap.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+        tmap_ref = ray.put(tmap)
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            tm = ray.get(tmap_ref)
+            a_ids = batch["doc_a"].to_pylist()
+            b_ids = batch["doc_b"].to_pylist()
+            keep = [i for i in range(len(a_ids))
+                    if _exact_ok(tm.get(a_ids[i]), tm.get(b_ids[i]))]
+            sel = pa.array(keep, type=pa.int64())
+            t = batch.take(sel)
+            return pa.table({"src": t["doc_a"], "dst": t["doc_b"]})
+
+        edges = cand.map_batches(verify_bc, batch_format="pyarrow").materialize()
+    else:
+        # large candidate set: hash-join texts back by id (the scale path)
+        texts = docs.select_columns([id_col, text_col]).materialize()
+        j1 = cand.join(texts, join_type="inner", num_partitions=16,
+                       on=("doc_a",), right_on=(id_col,))
+        # explicit projection between joins: leftover right-side columns
+        # make the second join's key reference ambiguous
+        j1 = j1.map_batches(
+            lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                                "text_a": b[text_col]}),
+            batch_format="pyarrow",
+        )
+        j2 = j1.join(texts, join_type="inner", num_partitions=16,
+                     on=("doc_b",), right_on=(id_col,))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            ta = batch["text_a"].to_pylist()
+            tb = batch[text_col].to_pylist()
+            a_ids = batch["doc_a"].to_pylist()
+            b_ids = batch["doc_b"].to_pylist()
+            src, dst = [], []
+            for i in range(len(ta)):
+                if _exact_ok(ta[i], tb[i]):
+                    src.append(a_ids[i])
+                    dst.append(b_ids[i])
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+        edges = j2.map_batches(verify, batch_format="pyarrow").materialize()
     nodes = docs.select_columns([id_col])
     n_edges = edges.count()
     use_distributed = (
