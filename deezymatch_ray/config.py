@@ -122,6 +122,8 @@ class ExecutionConfig:
     shuffle_partitions: int = 64
     cluster_driver_edge_limit: int = 2_000_000  # below this, union-find on driver
     cluster_max_rounds: int = 50
+    # partitions for the resumable (checkpointed) embedding stage
+    checkpoint_partitions: int = 16
 
 
 @dataclass(frozen=True)

@@ -317,6 +317,7 @@ def link_documents(
     model_dir: str | None = None,
     edge_threshold: float | None = None,
     distributed_cc: bool | None = None,
+    checkpoint_dir: str | None = None,
 ) -> ray.data.Dataset:
     """End-to-end: spans docs → (doc_id, cluster_id).
 
@@ -351,7 +352,23 @@ def link_documents(
         ranking=dataclasses.replace(cfg.ranking, selection_threshold=shortlist_thr),
     )
     jt = docs_with_join_text(docs)
-    pairs = score_self_pairs(jt, cfg, weights_ref, vocab_ref, meta)
+    if checkpoint_dir is not None:
+        # resumable variant: the embedding stage (the expensive per-row
+        # work) runs through the partitioned-manifest machinery — a killed
+        # run re-embeds only unfinished partitions (state/checkpoint.py)
+        from deezymatch_ray.state.checkpoint import read_stage_output, run_stage
+
+        def embed_stage(part: ray.data.Dataset) -> ray.data.Dataset:
+            return prepare_side(part, cfg, weights_ref, vocab_ref, meta,
+                                "doc_id", "join_text")
+
+        run_stage(jt, embed_stage, checkpoint_dir, "embed", "doc_id",
+                  n_partitions=cfg.execution.checkpoint_partitions)
+        prepared = read_stage_output(checkpoint_dir)
+        keyed = prepared.map_batches(_KeyAndCarry(cfg), batch_format="pyarrow")
+        pairs = blocked_pairs(keyed, cfg, self_join=True)
+    else:
+        pairs = score_self_pairs(jt, cfg, weights_ref, vocab_ref, meta)
     # D1 pair dedup (SURVEY §2.7): a pair sharing k block keys is emitted k
     # times; dedup BEFORE the model re-scores — distances are identical
     # across blocks, so keep-any is exact

@@ -81,3 +81,26 @@ def test_changed_input_invalidates_only_touched_partitions(out_dir):
     assert 0 < len(ran) <= 8
     out = read_stage_output(out_dir).to_pandas()
     assert len(out) == 110
+
+
+def test_link_documents_checkpoint_resume(tmp_path):
+    """Kill-and-resume on the flagship: a lost partition re-embeds and
+    the final cluster assignment is identical to the uninterrupted run."""
+    import shutil
+
+    from deezymatch_ray.data.synth import write_documents
+    from deezymatch_ray.pipelines.linkage import link_documents
+    from deezymatch_ray.sources.spans import read_documents
+    from deezymatch_ray.state.checkpoint import load_manifest
+
+    src = write_documents(str(tmp_path / "docs"), 150, seed=17)
+    ds = read_documents(f"{src}/documents_spans.parquet")
+    ck = str(tmp_path / "ckpt")
+    a = link_documents(ds, checkpoint_dir=ck).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    m = load_manifest(ck)
+    assert len(m) == 16 and all(r["stage"] == "embed" for r in m.values())
+    # simulate crash: lose one partition's marker + data
+    os.remove(os.path.join(ck, "_manifest", "part-00005.json"))
+    shutil.rmtree(os.path.join(ck, "part=5"), ignore_errors=True)
+    b = link_documents(ds, checkpoint_dir=ck).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
