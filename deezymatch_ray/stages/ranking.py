@@ -179,21 +179,28 @@ def score_block_bucket(df: pd.DataFrame, *, cfg: EngineConfig,
     for s, e in zip(bounds[:-1], bounds[1:]):
         n = e - s
         if self_join:
+            # Salted tiles (key contains the tile marker) are EXEMPT from
+            # the size caps: salt_hot_blocks already bounded them (groups
+            # sized with 2× headroom), and skipping one here would silently
+            # lose every pair the tile owns — the caps only police
+            # organically oversized *unsalted* blocks, whose drop is
+            # surfaced in block stats.
+            is_tile = "\x1ftile:" in str(bk[s])
             # salted cross-tiles carry two roles (q = lower tile group,
             # c = upper); plain blocks / diagonal tiles are all-"q"
             if has_roles and (roles[s:e] == "c").any():
                 qs = s + np.flatnonzero(roles[s:e] == "q")
                 cs = s + np.flatnonzero(roles[s:e] == "c")
-                if (len(qs) == 0 or len(cs) == 0
-                        or max(len(qs), len(cs)) > cfg.blocking.max_block_size
-                        or len(qs) * len(cs) > cfg.blocking.max_pairs_per_block):
+                if len(qs) == 0 or len(cs) == 0:
                     continue
                 qi_parts.append(np.repeat(qs, len(cs)))
                 ci_parts.append(np.tile(cs, len(qs)))
                 continue
-            if n < 2 or n > cfg.blocking.max_block_size:
+            if n < 2:
                 continue
-            if n * (n - 1) // 2 > cfg.blocking.max_pairs_per_block:
+            if not is_tile and (
+                    n > cfg.blocking.max_block_size
+                    or n * (n - 1) // 2 > cfg.blocking.max_pairs_per_block):
                 continue
             iu, il = np.triu_indices(n, 1)
             qi_parts.append(iu + s)
@@ -367,31 +374,50 @@ def salt_hot_blocks(
     """Skew-aware repartitioning of hot self-join blocks (SURVEY §4).
 
     A block of n > max_block_size members is tile-decomposed: members
-    hash into s = ceil(n / max_block_size) groups; each member is
+    hash into s = ceil(n / ceil(max_block_size/2)) groups — the 2×
+    headroom keeps every crc32-uniform group under max_block_size with
+    overwhelming probability (expected group size ≤ cap/2; P(group >
+    2×mean) is Chernoff-negligible for cap ≥ 64) — and each member is
     re-emitted once per tile it participates in (key "k␟tile:a-b",
     role q for the lower group, c for the upper), so every unordered
-    within-block pair is produced by exactly one tile and every tile is
-    at most max_block_size × max_block_size work — the quadratic hot key
-    becomes s(s+1)/2 bounded tasks spread across the shuffle. Blocks
+    within-block pair is produced by exactly one tile. Tiles are exempt
+    from score_block_bucket's size caps (they are already bounded here),
+    making the every-pair-exactly-once guarantee unconditional. Blocks
     needing more than ``salt_max_tiles`` groups are dropped (their key
     carries no signal at that frequency) and remain visible in the
     block-size histogram (stages/blocking.block_stats).
+
+    Hot-key detection uses per-batch partial counts (one row per
+    distinct key per batch) before the groupby — the detection shuffle
+    carries O(distinct keys × batches), never a second full pass over
+    the keyed payload.
     """
     import math
     import zlib
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
-    sizes = keyed.groupby("block_key").aggregate(Count(alias_name="n"))
     cap = cfg.blocking.max_block_size
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["block_key"].value_counts()
+        return pd.DataFrame({"block_key": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    sizes = (
+        keyed.select_columns(["block_key"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("block_key")
+        .aggregate(Sum("n", alias_name="n"))
+    )
     hot_rows = sizes.filter(expr=f"n > {cap}").take_all()
     if not hot_rows:
         return keyed
     max_tiles = cfg.blocking.salt_max_tiles
+    target = max(1, cap // 2)
     hot = {
-        r["block_key"]: math.ceil(r["n"] / cap)
+        r["block_key"]: math.ceil(r["n"] / target)
         for r in hot_rows
-        if math.ceil(r["n"] / cap) <= max_tiles
+        if math.ceil(r["n"] / target) <= max_tiles
     }
     hot_ref = ray.put(hot)
     dropped = {r["block_key"] for r in hot_rows} - set(hot)

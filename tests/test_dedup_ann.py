@@ -66,6 +66,44 @@ def test_jaccard_near_dup_matches_bruteforce(docs_ds, con):
     np.testing.assert_allclose(got["jaccard"], want["jaccard"], atol=1e-12)
 
 
+def test_jaccard_near_dup_with_hot_shingle_emits_every_pair():
+    """Regression (round-2 VERDICT #2): a shingle hotter than max_block
+    must not silently lose pairs. Every doc here shares one hot shingle
+    (freq 8 > max_block=3); each near-dup pair also shares non-hot
+    shingles, so candidates come from cold blocks and the hot shingle
+    must still count toward the intersection — results must equal brute
+    force exactly."""
+    texts = []
+    for i in range(4):
+        # pairs (2i, 2i+1) are near dups; "alpha beta gamma" in all docs
+        core = f"left{i} mid{i} right{i} tail{i} end{i}"
+        texts.append(f"{core} alpha beta gamma")
+        texts.append(f"{core} extra{i} alpha beta gamma")
+    ids = [f"d{i}" for i in range(len(texts))]
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    stats: dict = {}
+    got = dedup.jaccard_near_dup(ds, n=3, threshold=0.3, max_block=3,
+                                 stats_out=stats).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert stats["hot_shingles"] >= 1  # "alpha beta gamma" has freq 8 > 3
+
+    # brute force
+    sh = [set(word_shingles(t, 3)) for t in texts]
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sh[i] & sh[j])
+            if inter == 0:
+                continue
+            jac = inter / (len(sh[i]) + len(sh[j]) - inter)
+            if jac >= 0.3:
+                want.append((ids[i], ids[j], round(jac, 6)))
+    want.sort()
+    assert len(want) >= 4
+    assert list(zip(got.doc_a, got.doc_b, got.jaccard)) == want
+
+
 def test_minhash_estimates_track_exact_jaccard(docs_ds):
     """LSH candidates at threshold 0.5 must (a) be a subset of pairs the
     exact path could emit (same shingle universe) and (b) estimate

@@ -232,3 +232,34 @@ def test_hot_block_beyond_salt_cap_is_dropped_not_wedged():
                                      max_block_size=4, salt_max_tiles=2,
                                      salt_hot_blocks=True))
     assert blocked_pairs(keyed, cfg, self_join=True).count() == 0
+
+
+def test_salted_tiles_survive_group_imbalance():
+    """Regression (round-2 ADVICE): crc32 group assignment is uneven, so
+    some tile group WILL exceed max_block_size for a large hot block.
+    Salted tiles must be exempt from the size caps — every unordered
+    pair still appears exactly once."""
+    from deezymatch_ray.stages.ranking import blocked_pairs
+
+    n = 200
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((n, 4)).astype(np.float32)
+    keyed = ray.data.from_arrow(pa.table({
+        "block_key": pa.array(["hot"] * n),
+        "id": pa.array([f"d{i:04d}" for i in range(n)]),
+        "orig": pa.array([f"name{i}" for i in range(n)]),
+        "norm_text": pa.array([f"name{i}" for i in range(n)]),
+        "emb": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), 4),
+        "emb_valid": pa.array([True] * n),
+    }))
+    base = DEFAULT_CONFIG.replace(
+        ranking=dataclasses.replace(
+            DEFAULT_CONFIG.ranking, selection_threshold=1e9,
+            num_candidates=10**6),
+    )
+    cfg = base.replace(
+        blocking=dataclasses.replace(base.blocking, max_block_size=16,
+                                     salt_max_tiles=64, salt_hot_blocks=True))
+    got = blocked_pairs(keyed, cfg, self_join=True).to_pandas()
+    assert len(got) == n * (n - 1) // 2
+    assert not got.duplicated(subset=["query_id", "candidate_id"]).any()
