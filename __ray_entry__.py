@@ -130,8 +130,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_sql() -> str:
+    """DuckDB mirror of stages/textstats.lang_id: per-language hint
+    occurrence counts via length-of-replace, winner = first language (in
+    fixed de,fr,es,zh order) whose count strictly beats all later ones,
+    'en' when every count is zero — exactly the kernel's `cnt > best_n`
+    update rule."""
+    from deezymatch_ray.stages.textstats import _LANG_HINTS
+
+    langs = list(_LANG_HINTS)  # dict order IS the tie-break order
+
+    def cnt_expr(lang: str) -> str:
+        terms = []
+        for h in _LANG_HINTS[lang]:
+            lit = h.replace("'", "''")
+            terms.append(
+                f"(length(s) - length(replace(s, '{lit}', ''))) / {len(h)}"
+            )
+        return " + ".join(terms)
+
+    cols = ", ".join(f"({cnt_expr(lg)}) AS cnt_{lg}" for lg in langs)
+    all_zero = " AND ".join(f"cnt_{lg} = 0" for lg in langs)
+    cases = [f"WHEN {all_zero} THEN 'en'"]
+    for i, lg in enumerate(langs[:-1]):
+        geq = " AND ".join(f"cnt_{lg} >= cnt_{o}" for o in langs[i + 1:])
+        cases.append(f"WHEN {geq} THEN '{lg}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return (
+        "WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents), "
+        f"c AS (SELECT doc_id, {cols} FROM t) "
+        f"SELECT doc_id, {case} AS lang_pred FROM c"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id": _lang_id_sql(),
         "normalize": (
             "SELECT doc_id, lower(trim(text)) AS norm_text FROM documents"
         ),
