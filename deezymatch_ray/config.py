@@ -46,7 +46,7 @@ class TokenizationConfig:
 class ModelConfig:
     """Reference: ``gru_lstm:`` block (input_dfm.yaml:24-91)."""
 
-    main_architecture: str = "gru"  # rnn | gru (lstm not implemented: no torch)
+    main_architecture: str = "gru"  # rnn | gru | lstm
     bidirectional: bool = True
     num_layers: int = 2
     embedding_dim: int = 60

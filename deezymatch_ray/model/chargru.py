@@ -1,4 +1,4 @@
-"""NumPy char-level siamese bi-GRU/RNN — forward pass.
+"""NumPy char-level siamese bi-GRU/LSTM/RNN — forward pass.
 
 Re-expresses the math of the reference's ``two_parallel_rnns``
 (rnn_networks.py:753-1116) in pure NumPy (torch is not installable in
@@ -53,7 +53,7 @@ def init_weights(
     rng = np.random.default_rng(seed)
     H, E = rnn_hidden_dim, embedding_dim
     ndir = 2 if bidirectional else 1
-    gate = 3 if main_architecture == "gru" else 1
+    gate = {"gru": 3, "lstm": 4}.get(main_architecture, 1)
     w: dict[str, np.ndarray] = {
         "emb": rng.standard_normal((vocab_size, E)).astype(dtype),
     }
@@ -99,7 +99,9 @@ def fc1_input_dim(pooling_mode: str, H: int, n_layers: int, ndir: int, E: int) -
 class CharGRU:
     """Stateless forward over a frozen weight dict.
 
-    ``arch``: "gru" | "rnn". All arrays float32; inputs are
+    ``arch``: "gru" | "lstm" | "rnn" (LSTM gate order i,f,g,o matching
+    ``nn.LSTM`` as built at rnn_networks.py:72-90). All arrays float32;
+    inputs are
     ``(x [B,T] int32, lens [B] int32)`` produced by
     ``functions.text.encode_strings``.
     """
@@ -138,8 +140,9 @@ class CharGRU:
         b_ih = self.w[f"rnn_1.b_ih_l{l}_d{d}"]
         b_hh = self.w[f"rnn_1.b_hh_l{l}_d{d}"]
         h = np.zeros((B, H), dtype=inp.dtype)
+        c = np.zeros((B, H), dtype=inp.dtype) if self.arch == "lstm" else None
         out = np.zeros((B, T, H), dtype=inp.dtype)
-        # precompute input gates for all t at once: [B,T,3H]
+        # precompute input gates for all t at once: [B,T,gate*H]
         gi_all = inp @ W_ih.T + b_ih
         steps = range(T) if d == 0 else range(T - 1, -1, -1)
         if counts is not None and cache is None:
@@ -154,6 +157,15 @@ class CharGRU:
                     z = sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
                     n = np.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
                     h_new = (1.0 - z) * n + z * h[:k]
+                elif self.arch == "lstm":
+                    a = gi + gh  # torch gate order i,f,g,o (nn.LSTM docs)
+                    i = sigmoid(a[:, :H])
+                    f = sigmoid(a[:, H : 2 * H])
+                    g = np.tanh(a[:, 2 * H : 3 * H])
+                    o = sigmoid(a[:, 3 * H :])
+                    c_new = f * c[:k] + i * g
+                    h_new = o * np.tanh(c_new)
+                    c[:k] = c_new
                 else:
                     h_new = np.tanh(gi + gh)
                 h[:k] = h_new
@@ -170,6 +182,17 @@ class CharGRU:
                 h_new = (1.0 - z) * n + z * h
                 if cache is not None:
                     cache.append((t, h.copy(), r, z, n, gh[:, 2 * H :].copy(), valid))
+            elif self.arch == "lstm":
+                a = gi + gh
+                i = sigmoid(a[:, :H])
+                f = sigmoid(a[:, H : 2 * H])
+                g = np.tanh(a[:, 2 * H : 3 * H])
+                o = sigmoid(a[:, 3 * H :])
+                c_new = f * c + i * g
+                h_new = o * np.tanh(c_new)
+                if cache is not None:
+                    cache.append((t, h.copy(), c.copy(), (i, f, g, o), c_new, None, valid))
+                c = np.where(valid, c_new, c)
             else:  # vanilla tanh RNN
                 h_new = np.tanh(gi + gh)
                 if cache is not None:

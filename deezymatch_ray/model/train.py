@@ -8,10 +8,15 @@ Training runs on the driver over arrays collected from the Ray pipeline
 (the model is tiny — vocab×E embedding + 2×H bi-GRU); the *data* prep is
 distributed, the optimizer is not (SURVEY §2.3 T7).
 
-Backprop is analytic (BPTT through the masked GRU recurrence) and
-gradient-checked against numerical differentiation in
-tests/test_model.py. Supported training pooling modes:
-``hstates_layers_simple`` (reference default) and ``hstates``.
+Backprop is analytic (BPTT through the masked GRU/LSTM/RNN recurrence)
+and gradient-checked against numerical differentiation in
+tests/test_model.py. All reference architectures (gru, lstm, rnn —
+rnn_networks.py:72-90) and all trainable pooling modes
+(rnn_networks.py:920-1099) are supported: ``hstates_layers_simple``,
+``hstates``, ``hstates_layers``, ``attention``, ``average``,
+``max``/``maximum``, ``hstates_subtract``, ``hstates_l2_distance``
+(``hstates_cosine`` has no trainable head in the reference either —
+its output is the cosine itself, rnn_networks.py:1093-1099).
 """
 
 from __future__ import annotations
@@ -34,11 +39,16 @@ class _LegTape:
 class SiameseTrainer(CharGRU):
     """CharGRU + gradients. Weight dict is shared with the inference class."""
 
+    TRAINABLE_POOLING = (
+        "hstates_layers_simple", "hstates", "hstates_layers", "attention",
+        "average", "max", "maximum", "hstates_subtract", "hstates_l2_distance",
+    )
+
     def __init__(self, weights, num_layers=2, bidirectional=True, arch="gru",
                  pooling_mode="hstates_layers_simple", rnn_dropout=0.0,
                  fc_dropout=(0.0, 0.0), seed=123):
-        assert arch == "gru", "trainer implements GRU (reference default)"
-        assert pooling_mode in ("hstates_layers_simple", "hstates")
+        assert arch in ("gru", "lstm", "rnn"), arch
+        assert pooling_mode in self.TRAINABLE_POOLING, pooling_mode
         super().__init__(weights, num_layers, bidirectional, arch, pooling_mode)
         self.rnn_dropout = rnn_dropout
         self.fc_dropout = fc_dropout
@@ -72,6 +82,9 @@ class SiameseTrainer(CharGRU):
         tape.final_input = inp
         return h_n, tape
 
+    _SEQ_POOLING = ("attention", "average", "max", "maximum")
+    _FOUR_WAY = ("attention", "average", "max", "maximum", "hstates", "hstates_layers")
+
     def _pool_final(self, h_n) -> np.ndarray:
         if self.pooling_mode == "hstates":
             parts = [h_n[-1, d] for d in range(self.ndir)]
@@ -80,6 +93,55 @@ class SiameseTrainer(CharGRU):
             if self.ndir == 2:
                 parts += [h_n[l, 1] for l in range(self.num_layers)]
         return np.concatenate(parts, axis=1)
+
+    # ---------------- sequence pooling (last-layer outputs) ----------------
+    def _pool_seq_forward(self, rnn_out, lens):
+        """attention/average/max over the masked timestep axis; returns
+        (pooled [B,D], ctx for backward)."""
+        mode = self.pooling_mode
+        T = rnn_out.shape[1]
+        mask = np.arange(T)[None, :] < lens[:, None]  # [B,T]
+        if mode == "average":
+            p = rnn_out.sum(axis=1) / np.maximum(lens[:, None], 1)
+            return p.astype(rnn_out.dtype), {"mask": mask}
+        if mode in ("max", "maximum"):
+            neg = np.where(mask[:, :, None], rnn_out, -np.inf)
+            idx = neg.argmax(axis=1)  # [B,D]
+            p = np.take_along_axis(rnn_out, idx[:, None, :], axis=1)[:, 0, :]
+            return p, {"idx": idx}
+        # attention: per-timestep MLP scores, masked softmax
+        a1_pre = rnn_out @ self.w["attn.W1"].T + self.w["attn.b1"]
+        a1 = np.maximum(a1_pre, 0.0)
+        scores = (a1 @ self.w["attn.W2"].T + self.w["attn.b2"])[:, :, 0]
+        scores = np.where(mask, scores, -np.inf)
+        scores = scores - scores.max(axis=1, keepdims=True)
+        e = np.exp(scores)
+        wts = e / e.sum(axis=1, keepdims=True)
+        p = (rnn_out * wts[:, :, None]).sum(axis=1)
+        return p, {"a1_pre": a1_pre, "a1": a1, "wts": wts}
+
+    def _pool_seq_backward(self, rnn_out, lens, dp, ctx, grads):
+        """Grad of sequence pooling wrt the last layer's outputs [B,T,D]
+        (+ attention-MLP weight grads)."""
+        mode = self.pooling_mode
+        if mode == "average":
+            denom = np.maximum(lens[:, None], 1).astype(rnn_out.dtype)
+            return ctx["mask"][:, :, None] * (dp / denom)[:, None, :]
+        if mode in ("max", "maximum"):
+            d_out = np.zeros_like(rnn_out)
+            np.put_along_axis(d_out, ctx["idx"][:, None, :], dp[:, None, :], axis=1)
+            return d_out
+        wts, a1, a1_pre = ctx["wts"], ctx["a1"], ctx["a1_pre"]
+        d_out = wts[:, :, None] * dp[:, None, :]
+        dw = (rnn_out * dp[:, None, :]).sum(axis=2)  # [B,T]
+        ds = wts * (dw - (wts * dw).sum(axis=1, keepdims=True))  # masked → wts=0 → ds=0
+        grads["attn.W2"] += np.einsum("bt,bte->e", ds, a1)[None, :]
+        grads["attn.b2"] += ds.sum()
+        d_a1pre = (ds[:, :, None] * self.w["attn.W2"][0][None, None, :]) * (a1_pre > 0)
+        grads["attn.W1"] += np.einsum("bte,btd->ed", d_a1pre, rnn_out)
+        grads["attn.b1"] += d_a1pre.sum(axis=(0, 1))
+        d_out += d_a1pre @ self.w["attn.W1"]
+        return d_out
 
     def _unpool_grad(self, dp: np.ndarray) -> np.ndarray:
         """Split pooled-state grad back into dh_n [n_layers, ndir, B, H]."""
@@ -99,7 +161,7 @@ class SiameseTrainer(CharGRU):
 
     # ---------------- backward ----------------
     def _backward_direction(self, l, d, cache, inp, d_out, d_hT, grads):
-        """BPTT through one direction of one layer.
+        """BPTT through one direction of one layer (gru / lstm / rnn).
 
         cache holds steps in forward order; iterate reversed. Returns
         d_inp [B,T,in]."""
@@ -107,39 +169,79 @@ class SiameseTrainer(CharGRU):
         W_ih = self.w[f"rnn_1.W_ih_l{l}_d{d}"]
         W_hh = self.w[f"rnn_1.W_hh_l{l}_d{d}"]
         B, T, _ = inp.shape
-        d_gi_all = np.zeros((B, T, 3 * H), dtype=inp.dtype)
+        n_gates = W_ih.shape[0] // H
+        d_gi_all = np.zeros((B, T, n_gates * H), dtype=inp.dtype)
         dW_hh = grads[f"rnn_1.W_hh_l{l}_d{d}"]
         db_hh = grads[f"rnn_1.b_hh_l{l}_d{d}"]
         dh = d_hT.copy()
-        for (t, h_prev, r, z, n, gh_n, valid) in reversed(cache):
+        dc = np.zeros_like(dh) if self.arch == "lstm" else None
+        for (t, h_prev, c2, c3, c4, c5, valid) in reversed(cache):
             vf = valid.astype(inp.dtype)
             g_new = (dh + d_out[:, t]) * vf
             dh_prev = dh * (1.0 - vf)
-            dz = g_new * (h_prev - n)
-            dn = g_new * (1.0 - z)
-            dh_prev += g_new * z
-            da_n = dn * (1.0 - n * n)
-            dr = da_n * gh_n
-            d_gh_n = da_n * r
-            da_z = dz * z * (1.0 - z)
-            da_r = dr * r * (1.0 - r)
-            d_gh = np.concatenate([da_r, da_z, d_gh_n], axis=1)  # [B,3H]
-            dh_prev += d_gh @ W_hh
-            dW_hh += d_gh.T @ h_prev
-            db_hh += d_gh.sum(axis=0)
-            d_gi_all[:, t] = np.concatenate([da_r, da_z, da_n], axis=1)
+            if self.arch == "gru":
+                r, z, n, gh_n = c2, c3, c4, c5
+                dz = g_new * (h_prev - n)
+                dn = g_new * (1.0 - z)
+                dh_prev += g_new * z
+                da_n = dn * (1.0 - n * n)
+                dr = da_n * gh_n
+                d_gh_n = da_n * r
+                da_z = dz * z * (1.0 - z)
+                da_r = dr * r * (1.0 - r)
+                d_gh = np.concatenate([da_r, da_z, d_gh_n], axis=1)  # [B,3H]
+                dh_prev += d_gh @ W_hh
+                dW_hh += d_gh.T @ h_prev
+                db_hh += d_gh.sum(axis=0)
+                d_gi_all[:, t] = np.concatenate([da_r, da_z, da_n], axis=1)
+            elif self.arch == "lstm":
+                c_prev, (i, f, g, o), c_new = c2, c3, c4
+                tc = np.tanh(c_new)
+                do = g_new * tc
+                dc_total = dc * vf + g_new * o * (1.0 - tc * tc)
+                dc_prev = dc * (1.0 - vf) + dc_total * f
+                di = dc_total * g
+                df = dc_total * c_prev
+                dg = dc_total * i
+                da = np.concatenate([
+                    di * i * (1.0 - i), df * f * (1.0 - f),
+                    dg * (1.0 - g * g), do * o * (1.0 - o),
+                ], axis=1)  # [B,4H]; a = gi + gh so d_gh = d_gi = da
+                dh_prev += da @ W_hh
+                dW_hh += da.T @ h_prev
+                db_hh += da.sum(axis=0)
+                d_gi_all[:, t] = da
+                dc = dc_prev
+            else:  # rnn: h_new = tanh(gi + gh)
+                h_new = c4
+                da = g_new * (1.0 - h_new * h_new)
+                dh_prev += da @ W_hh
+                dW_hh += da.T @ h_prev
+                db_hh += da.sum(axis=0)
+                d_gi_all[:, t] = da
             dh = dh_prev
         grads[f"rnn_1.W_ih_l{l}_d{d}"] += np.einsum("btg,bti->gi", d_gi_all, inp)
         grads[f"rnn_1.b_ih_l{l}_d{d}"] += d_gi_all.sum(axis=(0, 1))
         return d_gi_all @ W_ih
 
-    def _backward_leg(self, x, tape: _LegTape, dp: np.ndarray, grads) -> None:
-        dh_n = self._unpool_grad(dp)
+    def _backward_leg(self, x, tape: _LegTape, dp, grads, d_top_out=None) -> None:
+        """``dp``: grad wrt pooled h_n states (None for sequence pooling);
+        ``d_top_out``: grad wrt the top layer's outputs [B,T,H*ndir]."""
+        if dp is not None:
+            dh_n = self._unpool_grad(dp)
+            dtype = dp.dtype
+        else:
+            dtype = d_top_out.dtype
+            dh_n = np.zeros(
+                (self.num_layers, self.ndir, x.shape[0], self.H), dtype=dtype
+            )
         d_next_inp = None  # grad wrt input of layer l+1
         for l in range(self.num_layers - 1, -1, -1):
             if d_next_inp is None:
-                d_layer_out = np.zeros(
-                    (x.shape[0], x.shape[1], self.H * self.ndir), dtype=dp.dtype
+                d_layer_out = (
+                    d_top_out if d_top_out is not None else np.zeros(
+                        (x.shape[0], x.shape[1], self.H * self.ndir), dtype=dtype
+                    )
                 )
             else:
                 d_layer_out = d_next_inp
@@ -160,14 +262,28 @@ class SiameseTrainer(CharGRU):
     def loss_and_grads(self, x1, len1, x2, len2, y, train=True):
         """Mean CE loss + gradient dict. y ∈ {0,1} [B]."""
         B = x1.shape[0]
+        mode = self.pooling_mode
+        seq = mode in self._SEQ_POOLING
+        lens1 = np.asarray(len1, dtype=np.int64)
+        lens2 = np.asarray(len2, dtype=np.int64)
         h1, tape1 = self._encode_tape(x1, len1, train)
         h2, tape2 = self._encode_tape(x2, len2, train)
-        p1 = self._pool_final(h1)
-        p2 = self._pool_final(h2)
-        if self.pooling_mode == "hstates":
-            comb = np.concatenate([p1, p2, p1 * p2, p1 - p2], axis=1)
+        if seq:
+            p1, ctx1 = self._pool_seq_forward(tape1.final_input, lens1)
+            p2, ctx2 = self._pool_seq_forward(tape2.final_input, lens2)
         else:
+            p1 = self._pool_final(h1)
+            p2 = self._pool_final(h2)
+        if mode in self._FOUR_WAY:
+            comb = np.concatenate([p1, p2, p1 * p2, p1 - p2], axis=1)
+        elif mode == "hstates_layers_simple":
             comb = np.concatenate([p1, p2], axis=1)
+        elif mode == "hstates_subtract":
+            diff = p1 - p2
+            comb = 1.0 - np.abs(diff)
+        else:  # hstates_l2_distance
+            diff = p1 - p2
+            comb = 1.0 - diff * diff
         drop1 = drop2 = None
         if train and self.fc_dropout[0] > 0:
             drop1 = (self.rng.random(comb.shape) >= self.fc_dropout[0]) / (1 - self.fc_dropout[0])
@@ -204,14 +320,27 @@ class SiameseTrainer(CharGRU):
         if drop1 is not None:
             d_comb = d_comb * drop1
         D = p1.shape[1]
-        if self.pooling_mode == "hstates":
+        if mode in self._FOUR_WAY:
             dp1 = d_comb[:, :D] + d_comb[:, 2 * D : 3 * D] * p2 + d_comb[:, 3 * D :]
             dp2 = d_comb[:, D : 2 * D] + d_comb[:, 2 * D : 3 * D] * p1 - d_comb[:, 3 * D :]
-        else:
+        elif mode == "hstates_layers_simple":
             dp1 = d_comb[:, :D]
             dp2 = d_comb[:, D:]
-        self._backward_leg(x1, tape1, dp1, grads)
-        self._backward_leg(x2, tape2, dp2, grads)
+        elif mode == "hstates_subtract":
+            sgn = np.sign(diff)
+            dp1 = -sgn * d_comb
+            dp2 = sgn * d_comb
+        else:  # hstates_l2_distance
+            dp1 = -2.0 * diff * d_comb
+            dp2 = 2.0 * diff * d_comb
+        if seq:
+            d_top1 = self._pool_seq_backward(tape1.final_input, lens1, dp1, ctx1, grads)
+            d_top2 = self._pool_seq_backward(tape2.final_input, lens2, dp2, ctx2, grads)
+            self._backward_leg(x1, tape1, None, grads, d_top_out=d_top1)
+            self._backward_leg(x2, tape2, None, grads, d_top_out=d_top2)
+        else:
+            self._backward_leg(x1, tape1, dp1, grads)
+            self._backward_leg(x2, tape2, dp2, grads)
         preds = logits.argmax(axis=1)
         return loss, grads, preds
 

@@ -23,18 +23,32 @@ def _tiny_batch(seed=0, B=6, V=12, T=7):
     return x1, l1, x2, l2, y
 
 
-@pytest.mark.parametrize("pooling", ["hstates_layers_simple", "hstates"])
-def test_gradient_check(pooling):
+@pytest.mark.parametrize("arch,pooling", [
+    # every trainable pooling mode on the default arch...
+    ("gru", "hstates_layers_simple"), ("gru", "hstates"),
+    ("gru", "hstates_layers"), ("gru", "attention"), ("gru", "average"),
+    ("gru", "max"), ("gru", "hstates_subtract"), ("gru", "hstates_l2_distance"),
+    # ...and the other reference architectures (rnn_networks.py:72-90)
+    ("lstm", "hstates_layers_simple"), ("lstm", "hstates_layers"),
+    ("lstm", "attention"), ("lstm", "average"), ("lstm", "max"),
+    ("rnn", "hstates_layers_simple"), ("rnn", "hstates"),
+])
+def test_gradient_check(arch, pooling):
     V, E, H, L = 12, 5, 4, 2
     w = init_weights(V, E, H, num_layers=L, bidirectional=True, fc1_out_dim=8,
-                     pooling_mode=pooling, seed=3, dtype=np.float64)
-    tr = SiameseTrainer(w, num_layers=L, bidirectional=True, pooling_mode=pooling)
+                     pooling_mode=pooling, main_architecture=arch, seed=3,
+                     dtype=np.float64)
+    tr = SiameseTrainer(w, num_layers=L, bidirectional=True, arch=arch,
+                        pooling_mode=pooling)
     x1, l1, x2, l2, y = _tiny_batch()
     loss0, grads, _ = tr.loss_and_grads(x1, l1, x2, l2, y, train=False)
     rng = np.random.default_rng(0)
     eps = 1e-6
-    for key in ["emb", "rnn_1.W_ih_l0_d0", "rnn_1.W_hh_l1_d1", "rnn_1.b_hh_l0_d1",
-                "fc1.W", "fc2.b", "rnn_1.W_ih_l1_d0"]:
+    keys = ["emb", "rnn_1.W_ih_l0_d0", "rnn_1.W_hh_l1_d1", "rnn_1.b_hh_l0_d1",
+            "fc1.W", "fc2.b", "rnn_1.W_ih_l1_d0"]
+    if pooling == "attention":
+        keys += ["attn.W1", "attn.b1", "attn.W2", "attn.b2"]
+    for key in keys:
         p = w[key]
         flat_idx = rng.integers(0, p.size, 5)
         for fi in flat_idx:
@@ -132,6 +146,58 @@ def test_training_learns_and_freeze(tmp_path):
     loaded, meta = load_weights(p)
     assert meta["num_layers"] == 2
     np.testing.assert_array_equal(loaded["fc1.W"], tr.w["fc1.W"])
+
+
+def test_lstm_forward_paths_agree_and_trains():
+    """LSTM: the length-sorted fast path (inference) and the masked
+    cache path (trainer forward) must produce identical logits, and a
+    few Adam steps must reduce the loss."""
+    V = 30
+    w = init_weights(V, 8, 6, num_layers=2, fc1_out_dim=10,
+                     main_architecture="lstm", seed=5, dtype=np.float64)
+    x1, l1, x2, l2, y = _tiny_batch(seed=2, B=8, V=V, T=9)
+    model = CharGRU(w, num_layers=2, arch="lstm")
+    fast = model.forward(x1, l1, x2, l2)
+    tr = SiameseTrainer({k: v.copy() for k, v in w.items()}, num_layers=2, arch="lstm")
+    h1, t1 = tr._encode_tape(x1, l1, train=False)
+    h2, t2 = tr._encode_tape(x2, l2, train=False)
+    p = np.concatenate([tr._pool_final(h1), tr._pool_final(h2)], axis=1)
+    slow = np.maximum(p @ w["fc1.W"].T + w["fc1.b"], 0.0) @ w["fc2.W"].T + w["fc2.b"]
+    np.testing.assert_allclose(fast, slow, atol=1e-10)
+    # batch invariance: single-row forward equals row of batch forward
+    one = model.forward(x1[3:4, : l1[3]], l1[3:4], x2[3:4, : l2[3]], l2[3:4])
+    np.testing.assert_allclose(fast[3], one[0], atol=1e-10)
+    # training reduces loss
+    opt = Adam(tr.w, lr=1e-2)
+    loss0, grads, _ = tr.loss_and_grads(x1, l1, x2, l2, y)
+    for _ in range(15):
+        _, grads, _ = tr.loss_and_grads(x1, l1, x2, l2, y)
+        opt.step(grads)
+    loss1, _, _ = tr.loss_and_grads(x1, l1, x2, l2, y, train=False)
+    assert loss1 < loss0
+
+
+def test_lstm_yaml_config_round_trip(tmp_path):
+    """A reference-style yaml with main_architecture: lstm loads and the
+    resulting config drives init_weights + SiameseTrainer."""
+    from deezymatch_ray.config import from_yaml
+
+    yml = tmp_path / "input_dfm.yaml"
+    yml.write_text(
+        "gru_lstm:\n  main_architecture: lstm\n  rnn_hidden_dim: 8\n"
+        "  embedding_dim: 8\n  num_layers: 2\n  bidirectional: true\n"
+        "  pooling_mode: hstates_layers\n"
+    )
+    cfg = from_yaml(str(yml))
+    m = cfg.model
+    assert m.main_architecture == "lstm"
+    w = init_weights(20, m.embedding_dim, m.rnn_hidden_dim,
+                     num_layers=m.num_layers, bidirectional=m.bidirectional,
+                     pooling_mode=m.pooling_mode,
+                     main_architecture=m.main_architecture)
+    assert w["rnn_1.W_ih_l0_d0"].shape[0] == 4 * m.rnn_hidden_dim  # i,f,g,o
+    SiameseTrainer(w, num_layers=m.num_layers, arch="lstm",
+                   pooling_mode=m.pooling_mode)
 
 
 def test_fc1_input_dims_match_reference_multipliers():
