@@ -83,6 +83,25 @@ def test_changed_input_invalidates_only_touched_partitions(out_dir):
     assert len(out) == 110
 
 
+def test_content_edit_invalidates_touched_partition(out_dir):
+    """Regression (round-2 ADVICE): same row membership but edited
+    payload must re-run the touched partition — the fingerprint covers
+    row content, not just the key column."""
+    run_stage(_docs(50), _stage, out_dir, "n_chars", "doc_id", n_partitions=8)
+
+    def edited(n=50):
+        t = _docs(n).to_pandas()
+        t.loc[t.doc_id == "d-0007", "text"] = "totally different content"
+        return ray.data.from_arrow(pa.Table.from_pandas(t, preserve_index=False))
+
+    ran = run_stage(edited(), _stage, out_dir, "n_chars", "doc_id", n_partitions=8)
+    assert len(ran) == 1  # exactly the bucket holding d-0007
+    out = read_stage_output(out_dir).to_pandas()
+    assert out.loc[out.doc_id == "d-0007", "n_chars"].iloc[0] == len(
+        "totally different content"
+    )
+
+
 def test_link_documents_checkpoint_resume(tmp_path):
     """Kill-and-resume on the flagship: a lost partition re-embeds and
     the final cluster assignment is identical to the uninterrupted run."""
