@@ -44,13 +44,24 @@ def word_shingles(text: str, n: int = 3) -> list[str]:
 
 
 def stable_hash64(token: str) -> int:
-    """Stable 64-bit hash (first 8 bytes of blake2b). Deterministic
-    across processes/machines, unlike built-in ``hash``."""
-    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
+    """Stable 64-bit hash of one token. Deterministic across processes
+    and machines, unlike built-in ``hash`` (must stay consistent with
+    ``stable_hash64_batch``)."""
+    return int(stable_hash64_batch([token])[0])
 
 
 def stable_hash64_batch(tokens: list[str]) -> np.ndarray:
-    return np.fromiter((stable_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    """Vectorized stable 64-bit hashes: pandas' siphash with its fixed
+    default key (C loop — ~30× faster than per-token hashlib, equally
+    uniform; determinism across processes is what the dedup plans need,
+    not cryptographic strength)."""
+    import pandas as pd
+
+    if not tokens:
+        return np.array([], dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(
+        np.uint64, copy=False
+    )
 
 
 def minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -99,14 +110,18 @@ def band_keys(sigs: np.ndarray, n_bands: int) -> list[list[str]]:
     their signatures agrees."""
     n, k = sigs.shape
     rows = k // n_bands
-    out: list[list[str]] = []
-    for r in range(n):
-        keys = []
-        for bidx in range(n_bands):
-            seg = sigs[r, bidx * rows : (bidx + 1) * rows]
-            keys.append(f"{bidx}:{hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()}")
-        out.append(keys)
-    return out
+    segs = sigs[:, : n_bands * rows].reshape(n, n_bands, rows)
+    # vectorized FNV over the band's signature rows (whole-band equality
+    # ⟺ digest equality up to negligible 64-bit collisions, same as the
+    # previous per-band blake2b digest)
+    acc = np.full((n, n_bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc = (acc ^ segs[:, :, r]) * np.uint64(0x100000001B3)
+    return [
+        [f"{bidx}:{acc[i, bidx]:016x}" for bidx in range(n_bands)]
+        for i in range(n)
+    ]
 
 
 def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:

@@ -99,17 +99,6 @@ def _unpack16(blob: bytes | None) -> set[bytes]:
     return {blob[i : i + 16].rstrip(b"\0") for i in range(0, len(blob), 16)}
 
 
-def _join_partitions(requested: int) -> int:
-    """Hash-shuffle joins schedule one aggregator actor per partition; a
-    partition count above the cluster's CPU budget deadlocks the actor
-    pool on small clusters (observed at num_partitions=64 with 4 CPUs).
-    Cap by available CPUs; large clusters keep the requested width."""
-    import ray as _ray
-
-    cpus = int(_ray.available_resources().get("CPU", 8) or 8)
-    return max(2, min(requested, cpus))
-
-
 def jaccard_near_dup(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -119,6 +108,7 @@ def jaccard_near_dup(
     max_block: int = 2_000,
     num_partitions: int = 64,
     stats_out: dict | None = None,
+    broadcast_stats_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """EXACT word-n-gram-Jaccard near-dup pairs (doc_a < doc_b, jaccard).
 
@@ -136,9 +126,13 @@ def jaccard_near_dup(
     3. Per-shingle blocks (≤ max_block by construction) emit each
        co-occurring pair once; a global ``groupby(pair).count`` yields the
        exact non-hot intersection size |A∩B \\ hot|.
-    4. Each candidate pair hash-joins per-doc stats (|A|, and A's — short
+    4. Each candidate pair picks up per-doc stats (|A|, and A's — short
        — hot-shingle subset); |A∩B| = non-hot count + |hotA ∩ hotB|, so
        hot shingles still contribute exactly to every verified pair.
+       Stats attach via broadcast merge while the per-doc stats table is
+       ≤ ``broadcast_stats_limit`` rows (ray.put once, zero shuffles);
+       beyond that, two bucketized reduce-side joins (same shuffle
+       volume as a hash join, robust to empty partitions).
 
     The only loss: a pair sharing *exclusively* hot shingles never
     becomes a candidate (finding it would cost O(freq²) on a key with
@@ -237,27 +231,101 @@ def jaccard_near_dup(
     # --- exact non-hot intersection size per pair ---
     cand = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter_nh"))
 
-    # --- join per-doc stats (hash shuffle join; both sides scale) ---
-    def rename_stats(suffix: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                f"doc_{suffix}": batch[id_col],
-                f"n_{suffix}": batch["n_sh"],
-                f"hot_{suffix}": batch["hot_sh"],
-            })
-        return fn
+    # --- attach per-doc stats: bucketized reduce-side joins.
+    # (Ray's hash-join aggregator builds a COLUMN-LESS empty table for
+    # any partition that receives zero blocks, and Acero then rejects
+    # the key FieldRef — guaranteed on small inputs, possible on skewed
+    # ones. A groupby-union join has identical shuffle volume and is
+    # robust to empty buckets.) ---
+    sch = docs.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    stats = stats.materialize()  # consumed once per side; don't re-hash docs
 
-    jp = _join_partitions(num_partitions)
-    cand = cand.join(
-        stats.map_batches(rename_stats("a"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=jp, on=("doc_a",),
-    ).join(
-        stats.map_batches(rename_stats("b"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=jp, on=("doc_b",),
-    )
+    def attach_broadcast(batch: pa.Table) -> pa.Table:
+        """Small-corpus fast path: per-doc stats broadcast once via
+        ray.put, pandas-merged per cand batch — zero extra shuffles."""
+        if batch.num_rows == 0:  # empty buckets arrive schema-less
+            return pa.table({
+                "doc_a": pa.array([], type=id_type),
+                "doc_b": pa.array([], type=id_type),
+                "inter_nh": pa.array([], type=pa.int64()),
+                "n_a": pa.array([], type=pa.int64()),
+                "hot_a": pa.array([], type=pa.binary()),
+                "n_b": pa.array([], type=pa.int64()),
+                "hot_b": pa.array([], type=pa.binary()),
+            })
+        s = ray.get(stats_ref)
+        df = batch.to_pandas()
+        m = df.merge(
+            s.rename(columns={id_col: "doc_a", "n_sh": "n_a", "hot_sh": "hot_a"}),
+            on="doc_a", how="inner",
+        ).merge(
+            s.rename(columns={id_col: "doc_b", "n_sh": "n_b", "hot_sh": "hot_b"}),
+            on="doc_b", how="inner",
+        )
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    def attach(pairs_ds, key: str, n_out: str, hot_out: str, carry: dict):
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            cols = {"__k": batch[key].cast(id_type)}
+            for name, typ in carry.items():
+                cols[name] = batch[name].cast(typ)
+            cols["__n"] = pa.nulls(batch.num_rows, pa.int64())
+            cols["__hot"] = pa.nulls(batch.num_rows, pa.binary())
+            cols["__stat"] = pa.array(np.zeros(batch.num_rows, dtype=bool))
+            return pa.table(cols)
+
+        def tag_stats(batch: pa.Table) -> pa.Table:
+            cols = {"__k": batch[id_col].cast(id_type)}
+            for name, typ in carry.items():
+                cols[name] = pa.nulls(batch.num_rows, typ)
+            cols["__n"] = batch["n_sh"].cast(pa.int64())
+            cols["__hot"] = batch["hot_sh"].cast(pa.binary())
+            cols["__stat"] = pa.array(np.ones(batch.num_rows, dtype=bool))
+            return pa.table(cols)
+
+        unioned = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+            stats.map_batches(tag_stats, batch_format="pyarrow")
+        )
+
+        out_cols = list(carry) + [n_out, hot_out]
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            prs = df[~df["__stat"]]
+            st = df[df["__stat"]]
+            if len(prs) == 0 or len(st) == 0:
+                return pd.DataFrame({c: [] for c in out_cols})
+            m = prs.drop(columns=["__n", "__hot", "__stat"]).merge(
+                st[["__k", "__n", "__hot"]], on="__k", how="inner"
+            ).rename(columns={"__n": n_out, "__hot": hot_out})
+            return m[out_cols]
+
+        return bucketize(unioned, ["__k"], num_partitions).groupby(
+            "__bucket"
+        ).map_groups(
+            lambda df: merge(df.drop(columns=["__bucket"])),
+            batch_format="pandas",
+        )
+
+    if stats.count() <= broadcast_stats_limit:
+        stats_ref = ray.put(stats.to_pandas())
+        cand = cand.map_batches(attach_broadcast, batch_format="pyarrow")
+    else:
+        carry1 = {"doc_a": id_type, "doc_b": id_type, "inter_nh": pa.int64()}
+        cand = attach(cand, "doc_a", "n_a", "hot_a", carry1)
+        cand = attach(
+            cand, "doc_b", "n_b", "hot_b",
+            {**carry1, "n_a": pa.int64(), "hot_a": pa.binary()},
+        )
 
     # --- exact Jaccard + threshold ---
     def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty buckets arrive schema-less
+            return pa.table({
+                "doc_a": pa.array([], type=id_type),
+                "doc_b": pa.array([], type=id_type),
+                "jaccard": pa.array([], type=pa.float64()),
+            })
         cnt = np.asarray(batch["inter_nh"].to_pylist(), dtype=np.float64)
         n_a = np.asarray(batch["n_a"].to_pylist(), dtype=np.float64)
         n_b = np.asarray(batch["n_b"].to_pylist(), dtype=np.float64)
@@ -274,10 +342,10 @@ def jaccard_near_dup(
         denom = n_a + n_b - inter
         jac = np.divide(inter, denom, out=np.zeros_like(inter), where=denom > 0)
         keep = jac >= threshold
-        kept = batch.filter(pa.array(keep))  # preserves id column types
+        kept = batch.filter(pa.array(keep))
         return pa.table({
-            "doc_a": kept["doc_a"],
-            "doc_b": kept["doc_b"],
+            "doc_a": kept["doc_a"].cast(id_type),
+            "doc_b": kept["doc_b"].cast(id_type),
             # Python round (correctly rounded) — np.round can land one ulp
             # off DuckDB's round and break value-hash compares
             "jaccard": pa.array([round(float(v), 6) for v in jac[keep]],
@@ -288,9 +356,12 @@ def jaccard_near_dup(
 
 
 class _MinHashStage:
-    """Actor-pool stage: (id, text) → (id, sig fixed_size_list<uint64 as
-    int64-bitcast>, band_key exploded rows). MinHash params are built
-    once per actor in __init__."""
+    """map_batches stage: (id, text) → (id, sig fixed_size_list<uint64
+    as int64-bitcast>, band_key exploded rows). Runs as a stateless TASK
+    pool (an instance is passed, not the class): the only per-call state
+    (the k permutation params) costs microseconds to build, and a task
+    pool reuses already-warm workers instead of paying actor spin-up —
+    which dominated this stage's wall time on short runs."""
 
     def __init__(self, text_col: str, id_col: str, n: int, k: int, n_bands: int, seed: int):
         self.text_col, self.id_col = text_col, id_col
@@ -319,14 +390,6 @@ class _MinHashStage:
         })
 
 
-def _first_equal_band(eq: np.ndarray, rows_per_band: int) -> int:
-    nb = len(eq) // rows_per_band
-    bands = eq[: nb * rows_per_band].reshape(nb, rows_per_band)
-    full = bands.all(axis=1)
-    idx = np.flatnonzero(full)
-    return int(idx[0]) if len(idx) else -1
-
-
 def minhash_lsh_near_dup(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -344,16 +407,17 @@ def minhash_lsh_near_dup(
     import functools
 
     keyed = ds.map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, n=n, k=k, n_bands=n_bands, seed=seed
-        ),
+        _MinHashStage(text_col=text_col, id_col=id_col, n=n, k=k,
+                      n_bands=n_bands, seed=seed),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
     rows_per_band = k // n_bands
 
     def block(group: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pair verification: signature equality, band
+        ownership (first fully-equal band owns the pair) and the
+        estimate threshold all evaluate as [pairs, k] matrix ops,
+        chunked so peak memory stays ~tens of MB even at max_block."""
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
         m = len(group)
         if m < 2 or m > max_block:
@@ -362,18 +426,30 @@ def minhash_lsh_near_dup(
         order = np.argsort(group["id"].to_numpy(), kind="stable")
         ids = group["id"].to_numpy()[order]
         sigs = np.stack(group["sig"].to_numpy()[order]).view(np.uint64)
-        ra, rb, rj = [], [], []
-        for i in range(m):
-            for j in range(i + 1, m):
-                if ids[i] == ids[j]:
-                    continue
-                eq = sigs[i] == sigs[j]
-                if _first_equal_band(eq, rows_per_band) != bidx:
-                    continue
-                est = float(eq.mean())
-                if est >= threshold:
-                    ra.append(ids[i]); rb.append(ids[j]); rj.append(round(est, 6))
-        return pd.DataFrame({"doc_a": ra, "doc_b": rb, "est_jaccard": rj})
+        kk = sigs.shape[1]
+        nb = kk // rows_per_band
+        ii, jj = np.triu_indices(m, 1)
+        out_a, out_b, out_j = [], [], []
+        CH = 1 << 18
+        for s in range(0, len(ii), CH):
+            a, b = ii[s : s + CH], jj[s : s + CH]
+            eq = sigs[a] == sigs[b]  # [c, k]
+            est = eq.mean(axis=1)
+            full = eq[:, : nb * rows_per_band].reshape(len(a), nb, rows_per_band).all(axis=2)
+            has = full.any(axis=1)  # false only on a band-digest collision
+            first = full.argmax(axis=1)
+            keep = has & (first == bidx) & (est >= threshold) & (ids[a] != ids[b])
+            out_a.append(ids[a][keep])
+            out_b.append(ids[b][keep])
+            out_j.append(est[keep])
+        a = np.concatenate(out_a) if out_a else np.array([])
+        if len(a) == 0:
+            return empty
+        return pd.DataFrame({
+            "doc_a": a,
+            "doc_b": np.concatenate(out_b),
+            "est_jaccard": [round(float(v), 6) for v in np.concatenate(out_j)],
+        })
 
     return keyed.groupby("band_key").map_groups(block, batch_format="pandas")
 
@@ -439,15 +515,15 @@ def simhash_near_dup(
         hd = hamming64(sigs[ii], sigs[jj])
         keep = (hd <= max_hamming) & (ids[ii] != ids[jj])
         ii, jj, hd = ii[keep], jj[keep], hd[keep]
+        if len(ii) == 0:
+            return empty
         # min-segment emission: the first matching segment owns the pair
-        own = np.zeros(len(ii), dtype=bool)
-        for t in range(len(ii)):
-            a, b = int(sigs[ii[t]]), int(sigs[jj[t]])
-            for seg in range(n_seg):
-                mask = ((1 << seg_bits) - 1) << (seg * seg_bits)
-                if (a & mask) == (b & mask):
-                    own[t] = seg == seg_idx
-                    break
+        # (≥1 segment matches by pigeonhole: hd ≤ r with r+1 segments)
+        shifts = np.arange(n_seg, dtype=np.uint64) * np.uint64(seg_bits)
+        seg_mask = np.uint64((1 << seg_bits) - 1)
+        a_seg = (sigs[ii][:, None] >> shifts) & seg_mask  # [p, n_seg]
+        b_seg = (sigs[jj][:, None] >> shifts) & seg_mask
+        own = (a_seg == b_seg).argmax(axis=1) == seg_idx
         return pd.DataFrame({
             "doc_a": ids[ii[own]], "doc_b": ids[jj[own]], "hamming": hd[own]
         })

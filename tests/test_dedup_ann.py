@@ -103,6 +103,13 @@ def test_jaccard_near_dup_with_hot_shingle_emits_every_pair():
     assert len(want) >= 4
     assert list(zip(got.doc_a, got.doc_b, got.jaccard)) == want
 
+    # the large-corpus path (reduce-side stats joins instead of the
+    # broadcast merge) must produce the identical result
+    got2 = dedup.jaccard_near_dup(ds, n=3, threshold=0.3, max_block=3,
+                                  broadcast_stats_limit=0).to_pandas()
+    got2 = got2.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert list(zip(got2.doc_a, got2.doc_b, got2.jaccard)) == want
+
 
 def test_minhash_estimates_track_exact_jaccard(docs_ds):
     """LSH candidates at threshold 0.5 must (a) be a subset of pairs the
