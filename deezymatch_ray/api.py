@@ -143,12 +143,12 @@ def train(
         weights, num_layers=m.num_layers, bidirectional=m.bidirectional,
         arch=m.main_architecture, pooling_mode=m.pooling_mode,
     )
-    fit(trainer, train_data,
-        valid_data=valid_data if len(valid_data[-1]) else None,
-        epochs=m.epochs, batch_size=m.batch_size, lr=m.learning_rate,
-        shuffle=m.dl_shuffle, seed=m.random_seed,
-        early_stopping_patience=m.early_stopping_patience,
-        validation_every=m.validation, frozen=layers_to_freeze, log=log)
+    history = fit(trainer, train_data,
+                  valid_data=valid_data if len(valid_data[-1]) else None,
+                  epochs=m.epochs, batch_size=m.batch_size, lr=m.learning_rate,
+                  shuffle=m.dl_shuffle, seed=m.random_seed,
+                  early_stopping_patience=m.early_stopping_patience,
+                  validation_every=m.validation, frozen=layers_to_freeze, log=log)
     model_dir = os.path.join(models_dir, model_name)
     os.makedirs(model_dir, exist_ok=True)
     meta = {
@@ -159,6 +159,12 @@ def train(
     }
     save_weights(os.path.join(model_dir, "model.npz"), trainer.w, meta=meta)
     save_vocab(os.path.join(model_dir, "vocab.parquet"), tok2index, counts)
+    # S12 log writer: per-epoch history (the reference writes log.txt,
+    # utils.py:380-420; json is the structured equivalent plot_log reads)
+    import json
+
+    with open(os.path.join(model_dir, "log.json"), "w") as fh:
+        json.dump(history, fh)
     return model_dir
 
 
@@ -186,12 +192,22 @@ def inference(
     output_path: str | None = None,
     calc_map: bool = False,
     one_column: bool = False,
+    cutoff: int | None = None,
 ) -> tuple[ray.data.Dataset, dict]:
     """mode="test": score labeled pairs (pred, p0, p1 like the S6 writer)
-    → (Dataset, metrics). mode="vect": embedding column per s1 → (Dataset, {})."""
+    → (Dataset, metrics). mode="vect": embedding column per s1 → (Dataset, {}).
+
+    ``cutoff`` mirrors the reference's over-read-then-trim rule
+    (data_processing.py:332-335,403): read the first ``2*cutoff`` input
+    rows, drop rows that fail the missing-char filter, keep the first
+    ``cutoff`` survivors. With ``cutoff=None`` (default) every row is
+    scored and invalid rows stay in the output flagged (NaN score /
+    emb_valid=False) rather than dropped."""
     weights_ref, vocab_ref, meta, mcfg = load_model_artifacts(model_dir)
     cfg = (cfg or DEFAULT_CONFIG).replace(tokenization=mcfg.tokenization)
     pairs_ds = _as_pairs_ds(pairs, one_column=one_column)
+    if cutoff is not None:
+        pairs_ds = pairs_ds.limit(2 * cutoff)
     if mode == "vect":
         import pyarrow as pa
 
@@ -216,6 +232,8 @@ def inference(
             batch_size=cfg.execution.score_batch_size,
             concurrency=cfg.execution.score_concurrency,
         )
+        if cutoff is not None:
+            out = out.filter(expr="emb_valid == True").limit(cutoff)
         if output_path:
             out.write_parquet(output_path)
         return out, {}
@@ -240,6 +258,15 @@ def inference(
         return batch.append_column("p0", pc.subtract(pa.scalar(1.0, pa.float32()), p1))
 
     scored = scored.map_batches(finalize, batch_format="pyarrow")
+    if cutoff is not None:
+        def drop_invalid(batch):
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.invert(pc.is_nan(batch["pred_score"])))
+
+        scored = scored.map_batches(
+            drop_invalid, batch_format="pyarrow"
+        ).limit(cutoff)
     if output_path:
         scored.write_parquet(output_path)  # S6 writer, parquet not TSV
     metrics: dict = {}
@@ -271,6 +298,7 @@ def candidate_ranker(
     calc_cosine: bool = False,
     plan: str = "global",
     cfg: EngineConfig | None = None,
+    number_test_rows: int = -1,
 ) -> ray.data.Dataset:
     """The reference's candidate_ranker (candidateRanker.py:186-582):
     long-form (query_id, query, candidate_id, candidate, faiss_dist,
@@ -300,8 +328,13 @@ def candidate_ranker(
             }))
         raise TypeError(type(x))
 
+    q_ds = side(queries)
+    if number_test_rows > 0:
+        # reference: rank only the first number_test_rows query vectors
+        # (candidateRanker.py:355-358)
+        q_ds = q_ds.limit(number_test_rows)
     fn = rank_global if plan == "global" else rank_blocked
-    return fn(side(queries), side(candidates), cfg, weights_ref, vocab_ref, meta)
+    return fn(q_ds, side(candidates), cfg, weights_ref, vocab_ref, meta)
 
 
 def candidate_ranker_init(**fixed_kwargs):
@@ -316,9 +349,100 @@ def candidate_ranker_init(**fixed_kwargs):
     return run
 
 
-def plot_log(*args, **kwargs):
-    raise NotImplementedError(
-        "plotting is out of engine scope; training history is returned by "
-        "fit() and per-stage metrics land in the checkpoint manifest "
-        "(deezymatch_ray/state/checkpoint.py)"
+def _svg_panel(x0, y0, w, h, title, series, colors=("#1f77b4", "#d62728")):
+    """One line-chart panel as SVG fragments. ``series``: {label: [y...]}."""
+    parts = [
+        f'<text x="{x0 + w / 2}" y="{y0 - 6}" text-anchor="middle" '
+        f'font-size="12" font-family="sans-serif">{title}</text>',
+        f'<rect x="{x0}" y="{y0}" width="{w}" height="{h}" fill="none" '
+        f'stroke="#888"/>',
+    ]
+    vals = [v for ys in series.values() for v in ys if v == v]  # drop NaN
+    if not vals:
+        return parts
+    lo, hi = min(vals), max(vals)
+    if hi - lo < 1e-12:
+        hi = lo + 1.0
+    n_max = max(len(ys) for ys in series.values())
+    for ci, (label, ys) in enumerate(series.items()):
+        if not ys:
+            continue
+        pts = []
+        for i, v in enumerate(ys):
+            px = x0 + (w * i / max(n_max - 1, 1))
+            py = y0 + h - h * (v - lo) / (hi - lo)
+            pts.append(f"{px:.1f},{py:.1f}")
+        c = colors[ci % len(colors)]
+        parts.append(
+            f'<polyline points="{" ".join(pts)}" fill="none" stroke="{c}" '
+            f'stroke-width="1.5"/>'
+        )
+        parts.append(
+            f'<text x="{x0 + 4}" y="{y0 + 14 + 14 * ci}" font-size="10" '
+            f'font-family="sans-serif" fill="{c}">{label}</text>'
+        )
+    parts.append(
+        f'<text x="{x0 - 4}" y="{y0 + 10}" text-anchor="end" font-size="9" '
+        f'font-family="sans-serif">{hi:.3g}</text>'
     )
+    parts.append(
+        f'<text x="{x0 - 4}" y="{y0 + h}" text-anchor="end" font-size="9" '
+        f'font-family="sans-serif">{lo:.3g}</text>'
+    )
+    return parts
+
+
+def plot_log(path2log: Any, output_name: str | None = None):
+    """Reference ``plot_log`` (utils.py:726-965): render the training
+    history as the 4-panel figure (loss, accuracy, macro-F1, epoch time)
+    and return the per-epoch metrics table.
+
+    Accepts a fit-history dict, a model dir (reads ``log.json`` written
+    by ``train``), or a path to a ``log.json``. The figure is written as
+    self-contained SVG next to the log (matplotlib is not available in
+    this environment); returns a pandas DataFrame of the history.
+    """
+    import json
+
+    import pandas as pd
+
+    out_svg = None
+    if isinstance(path2log, dict):
+        history = path2log
+        if output_name:
+            out_svg = f"{output_name}.svg"
+    else:
+        p = str(path2log)
+        if os.path.isdir(p):
+            p = os.path.join(p, "log.json")
+        with open(p) as fh:
+            history = json.load(fh)
+        stem = output_name or os.path.splitext(os.path.basename(p))[0]
+        out_svg = os.path.join(os.path.dirname(os.path.abspath(p)), f"{stem}.svg")
+
+    panels = [
+        ("loss", {"train": history.get("train_loss", []),
+                  "valid": history.get("valid_loss", [])}),
+        ("accuracy", {"train": history.get("train_acc", []),
+                      "valid": history.get("valid_acc", [])}),
+        ("macro F1", {"train": history.get("train_macro_f1", []),
+                      "valid": history.get("valid_macro_f1", [])}),
+        ("epoch time (s)", {"train": history.get("epoch_sec", [])}),
+    ]
+    if out_svg:
+        W, H, PW, PH = 640, 520, 260, 200
+        frags = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}">']
+        for i, (title, series) in enumerate(panels):
+            x0 = 50 + (i % 2) * (PW + 60)
+            y0 = 30 + (i // 2) * (PH + 50)
+            frags += _svg_panel(x0, y0, PW, PH, title, series)
+        frags.append("</svg>")
+        with open(out_svg, "w") as fh:
+            fh.write("\n".join(frags))
+
+    n = max((len(v) for v in history.values() if isinstance(v, list)), default=0)
+    cols = {"epoch": list(range(1, n + 1))}
+    for k, v in history.items():
+        if isinstance(v, list):
+            cols[k] = v + [float("nan")] * (n - len(v))
+    return pd.DataFrame(cols)

@@ -417,11 +417,16 @@ def fit(
     n = len(y)
     rng = np.random.default_rng(seed)
     opt = Adam(trainer.w, lr=lr, frozen=frozen)
-    history = {"train_loss": [], "valid_loss": [], "train_acc": []}
+    history = {"train_loss": [], "valid_loss": [], "train_acc": [],
+               "valid_acc": [], "train_macro_f1": [], "valid_macro_f1": [],
+               "train_precision_1": [], "train_recall_1": [], "epoch_sec": []}
     best_valid = np.inf
     best_weights = None
     patience = 0
+    import time as _time
+
     for epoch in range(epochs):
+        _t_epoch = _time.time()
         order = rng.permutation(n) if shuffle else np.arange(n)
         tot_loss = 0.0
         preds_all, y_all = [], []
@@ -439,10 +444,15 @@ def fit(
         m = classification_metrics(np.concatenate(y_all), np.concatenate(preds_all))
         history["train_loss"].append(tot_loss / max(nb, 1))
         history["train_acc"].append(m["accuracy"])
+        history["train_macro_f1"].append(m["macro_f1"])
+        history["train_precision_1"].append(m["precision_1"])
+        history["train_recall_1"].append(m["recall_1"])
         msg = f"epoch {epoch+1}/{epochs} loss={tot_loss/max(nb,1):.4f} acc={m['accuracy']:.4f}"
         if valid_data is not None and validation_every and (epoch + 1) % max(validation_every, 1) == 0:
             vloss, vm = evaluate(trainer, valid_data, batch_size)
             history["valid_loss"].append(vloss)
+            history["valid_acc"].append(vm["accuracy"])
+            history["valid_macro_f1"].append(vm["macro_f1"])
             msg += f" valid_loss={vloss:.4f} valid_acc={vm['accuracy']:.4f}"
             if vloss < best_valid:
                 best_valid = vloss
@@ -451,8 +461,10 @@ def fit(
             else:
                 patience += 1
                 if early_stopping_patience > 0 and patience >= early_stopping_patience:
+                    history["epoch_sec"].append(_time.time() - _t_epoch)
                     log(msg + "  [early stop]")
                     break
+        history["epoch_sec"].append(_time.time() - _t_epoch)
         log(msg)
     if best_weights is not None:
         trainer.w.update(best_weights)

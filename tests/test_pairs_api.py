@@ -141,6 +141,50 @@ def test_api_inference_vect_mode(tiny_model_dir):
     assert len(df["emb"].iloc[0]) == 2 * 24  # fwd ++ bwd
 
 
+def test_api_inference_cutoff_overread_then_trim(tiny_model_dir):
+    """Reference cutoff rule (data_processing.py:332-335,403): read the
+    first 2*cutoff rows, drop missing-char failures, keep the first
+    cutoff survivors."""
+    d, cfg, pairs = tiny_model_dir
+    base = pairs.limit(40).to_pandas()
+    # poison rows 3 and 7 with chars outside the trained char vocab so
+    # they fail the missing-char filter inside the over-read window
+    base.loc[3, "s1"] = "好好好好好"
+    base.loc[7, "s2"] = "€€€€€€€€"
+    poisoned = ray.data.from_arrow(pa.Table.from_pandas(base, preserve_index=False))
+
+    cutoff = 10
+    scored, _ = api.inference(d, poisoned, mode="test", cfg=cfg, cutoff=cutoff)
+    df = scored.to_pandas()
+    assert len(df) == cutoff
+    assert df["pred_score"].notna().all()
+    # = first `cutoff` valid rows among the first 2*cutoff inputs
+    want_s1 = [base.loc[i, "s1"] for i in range(2 * cutoff) if i not in (3, 7)][:cutoff]
+    assert df["s1"].tolist() == want_s1
+
+    # vect mode: same rule via emb_valid
+    emb, _ = api.inference(d, poisoned, mode="vect", cfg=cfg, cutoff=cutoff)
+    assert emb.count() == cutoff
+
+
+def test_api_candidate_ranker_number_test_rows(tiny_model_dir):
+    """candidateRanker.py:355-358: only the first number_test_rows
+    queries are ranked."""
+    d, cfg, pairs = tiny_model_dir
+    from deezymatch_ray.data.synth import make_entity_names
+
+    ent = make_entity_names(12, seed=3)
+    names = pa.table({
+        "id": pa.array([f"c{i:02d}" for i in range(12)]),
+        "name": pa.array(ent),
+    })
+    cands = ray.data.from_arrow(names)
+    out = api.candidate_ranker(cands, cands, d, selection_threshold=1e9,
+                               num_candidates=3, cfg=cfg,
+                               number_test_rows=4).to_pandas()
+    assert set(out["query_id"]) == {f"c{i:02d}" for i in range(4)}
+
+
 def test_api_finetune_freezes_layers(tiny_model_dir, tmp_path):
     d, cfg, pairs = tiny_model_dir
     from deezymatch_ray.model.chargru import load_weights
@@ -173,6 +217,25 @@ def test_api_candidate_ranker(tiny_model_dir):
     for i in range(20):
         assert top.loc[f"c{i:02d}", "candidate_id"] == f"c{i:02d}"  # self-match
         assert top.loc[f"c{i:02d}", "faiss_dist"] < 1e-6
+
+
+def test_plot_log_renders_svg_and_returns_table(tiny_model_dir, tmp_path):
+    """S12: train writes log.json; plot_log renders the 4-panel figure
+    and returns the per-epoch table (reference utils.py:726-965)."""
+    import os
+
+    d, cfg, pairs = tiny_model_dir
+    assert os.path.exists(os.path.join(d, "log.json"))
+    df = api.plot_log(d)
+    assert {"epoch", "train_loss", "train_acc"} <= set(df.columns)
+    assert len(df) == cfg.model.epochs
+    svg = os.path.join(d, "log.svg")
+    assert os.path.exists(svg)
+    head = open(svg).read(200)
+    assert head.startswith("<svg") and "polyline" in open(svg).read()
+    # dict input works too
+    df2 = api.plot_log({"train_loss": [1.0, 0.5], "train_acc": [0.5, 0.8]})
+    assert len(df2) == 2
 
 
 def test_from_yaml_parses_reference_config():
