@@ -303,8 +303,16 @@ def candidate_ranker(
     """The reference's candidate_ranker (candidateRanker.py:186-582):
     long-form (query_id, query, candidate_id, candidate, faiss_dist,
     cosine_dist, pred_score, rank). ``plan="global"`` is bit-parity with
-    the reference's global faiss scan; ``plan="blocked"`` is the
-    distributed-scale path (pairs sharing a blocking key)."""
+    the reference's global faiss scan for ``ranking_metric="faiss"``
+    with unique candidate strings; ``plan="blocked"`` is the
+    distributed-scale path (pairs sharing a blocking key).
+
+    Deliberate deviations (rationale in stages/ranking.py header):
+    duplicate-NAMED candidates keep one row per candidate id (the
+    reference collapses by string, candidateRanker.py:483-492), and the
+    ``cosine``/``conf`` metrics return the deterministic threshold
+    fixpoint rather than the reference's faiss-window walk, whose break
+    condition is non-monotone in walk order."""
     weights_ref, vocab_ref, meta, mcfg = load_model_artifacts(model_dir)
     cfg = (cfg or DEFAULT_CONFIG).replace(tokenization=mcfg.tokenization)
     cfg = cfg.replace(ranking=dataclasses.replace(

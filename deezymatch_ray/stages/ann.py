@@ -58,11 +58,13 @@ def brute_force_topk(
         cn = np.linalg.norm(c, axis=1)
         sims = (c @ qm.T) / np.maximum(cn[:, None] * qnorm[None, :], 1e-12)  # [B, Q]
         nk = min(k, len(c_ids))
-        # local per-query top-k (argpartition then exact order)
-        part = np.argpartition(-sims, nk - 1, axis=0)[:nk]  # [nk, Q]
+        # local per-query top-k ordered by the GLOBAL tie-break
+        # (sim desc, candidate_id asc): plain argpartition keeps an
+        # arbitrary subset of candidates tied at the k-th similarity,
+        # which can drop the lower-id member of a tie before the merge
         rows_q, rows_c, rows_s = [], [], []
         for qi in range(len(q_ids)):
-            sel = part[:, qi]
+            sel = np.lexsort((c_ids, -sims[:, qi]))[:nk]
             rows_q.append(np.full(nk, q_ids[qi]))
             rows_c.append(c_ids[sel])
             rows_s.append(sims[sel, qi])
@@ -162,12 +164,14 @@ def ivf_topk(
                     cn[sel][:, None] * qnorm[qidxs][None, :], 1e-12
                 )
                 nk = min(k, len(sel))
-                part = np.argpartition(-sims, nk - 1, axis=0)[:nk]
                 for col, qi in enumerate(qidxs):
-                    pick = sel[part[:, col]]
+                    # (sim desc, candidate_id asc) — ties at the k-th
+                    # boundary must keep the lower candidate id
+                    loc = np.lexsort((c_ids[sel], -sims[:, col]))[:nk]
+                    pick = sel[loc]
                     out_q.append(np.full(nk, q_ids[qi]))
                     out_c.append(c_ids[pick])
-                    out_s.append(sims[part[:, col], col])
+                    out_s.append(sims[loc, col])
         if not out_q:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "candidate_id": pa.array([], type=pa.int64()),

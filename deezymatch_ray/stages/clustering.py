@@ -11,10 +11,12 @@ Physical plans:
   not documents, bound memory — after thresholding the edge set is
   orders of magnitude smaller than the input).
 - ``connected_components_distributed``: iterative min-label propagation
-  — each round joins labels to edges and takes per-node minima
-  (hash-partitioned ``Dataset.join`` + ``groupby().min``), converging in
-  O(component diameter) rounds with a fixpoint check per round. Both
-  plans are cross-checked for equality in tests.
+  with pointer doubling — each round joins labels to edges, takes
+  per-node minima, then follows label→label(label) (hash-partitioned
+  ``Dataset.join`` + ``groupby().min``), converging in O(log component
+  diameter) rounds with a fixpoint check per round; a non-converged
+  exit raises instead of returning silently split clusters. Both plans
+  are cross-checked for equality in tests.
 
 Duplicate edges (the same pair surfacing from several shared blocking
 keys) are harmless to both plans — no upstream pair-dedup shuffle is
@@ -122,6 +124,21 @@ def connected_components_distributed(
             )
         )
         new_labels = cands.groupby("node").aggregate(Min("cand", alias_name="label"))
+        # pointer doubling: follow label → label(label) (labels are node
+        # ids, so every label resolves). Each round halves the remaining
+        # chain to the component minimum — convergence in O(log diameter)
+        # rounds instead of O(diameter)
+        relabel = new_labels.map_batches(
+            lambda b: pa.table({"lnode": b["node"], "llabel": b["label"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = new_labels.join(
+            relabel, join_type="inner", num_partitions=num_partitions,
+            on=("label",), right_on=("lnode",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["llabel"]}),
+            batch_format="pyarrow",
+        )
         new_labels = new_labels.materialize()
         # fixpoint check: has any label changed?
         cmp = labels.join(
@@ -140,6 +157,13 @@ def connected_components_distributed(
         labels = new_labels
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing) — the output would silently "
+            "split clusters; raise max_rounds (pointer doubling needs only "
+            "O(log diameter) rounds)"
+        )
 
     out = labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),

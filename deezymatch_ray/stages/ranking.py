@@ -24,7 +24,25 @@ Two physical plans, same output schema:
 - ``rank_global``: broadcast the full candidate matrix via ``ray.put``
   once, stream queries through ``map_batches`` computing exact global
   top-k (chunked matmuls). Bit-identical to the reference's global
-  search; usable while candidates fit in the object store.
+  search for the ``faiss`` metric with unique candidate strings;
+  usable while candidates fit in the object store.
+
+Documented DELIBERATE deviations from the reference (exact-parity
+claims above are scoped by these):
+
+1. Candidate-string dedup: the reference dedups duplicate candidate
+   *strings* (``s2_orig``, candidateRanker.py:483-492), so two distinct
+   candidate ids with the same name yield ONE row; we dedup on
+   (query_id, candidate_id) — duplicate-named candidates each keep a
+   row. Deterministic ids are the primary key of a distributed result;
+   collapsing by display string would make output depend on id order.
+2. ``cosine``/``conf`` metrics: the reference walks faiss L2-ordered
+   windows and breaks on a *cosine/conf* threshold (:406-476) — the
+   break is non-monotone in the walk order, and ``conf`` stops once
+   ``num_candidates`` accumulate in faiss order, so its result set is
+   not a pure threshold fixpoint. We compute the threshold fixpoint in
+   the chosen metric directly: a superset-or-equal, order-deterministic
+   result. Only the ``faiss`` metric is bit-parity.
 """
 
 from __future__ import annotations

@@ -185,6 +185,27 @@ def test_ann_topk_matches_sql(con):
     assert got["candidate_id"].tolist() == want["candidate_id"].tolist()
 
 
+def test_ann_topk_duplicate_embedding_ties_keep_lowest_ids():
+    """Regression (round-2 ADVICE): with duplicate embeddings tied at
+    the k-th similarity, the local per-block top-k must keep the
+    lower candidate ids so the global (sim desc, id asc) tie-break
+    holds — argpartition alone kept an arbitrary tied subset."""
+    n, d = 40, 4
+    base = np.arange(1, d + 1, dtype=np.float32)
+    emb = np.tile(base, (n, 1))  # all identical → every sim ties at 1.0
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), d),
+    })
+    cands = ray.data.from_arrow(tbl).repartition(5)  # ties span blocks
+    q_ids = np.array([0], dtype=np.int64)
+    got = ann.brute_force_topk(cands, q_ids, emb[:1], k=5).to_pandas()
+    got = got.sort_values("rank")
+    assert got["candidate_id"].tolist() == [0, 1, 2, 3, 4]
+    approx = ann.ivf_topk(cands, q_ids, emb[:1], k=5, n_centroids=4, nprobe=4).to_pandas()
+    assert approx.sort_values("rank")["candidate_id"].tolist() == [0, 1, 2, 3, 4]
+
+
 def test_ivf_topk_recall_vs_exact():
     cands = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
     q_ids, q_mat = ann.load_queries(cands, n_queries=5)
