@@ -381,11 +381,13 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
         m = v.filter(_pc.equal(v.field("kind"), "media"))
         return pa.table({"media_ref": m.field("media_ref")})
 
-    media_refs = [
-        r for b in docs.map_batches(refs, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-        for r in b["media_ref"].to_pylist()
-    ]
-    media = ray.data.from_arrow(make_media_table(sorted(media_refs), seed=42))
+    # media store rows derive deterministically from each ref alone, so
+    # the table builds per batch — refs never materialize on the driver
+    # (the round-1 plan collected every ref into a Python list)
+    media = docs.map_batches(refs, batch_format="pyarrow").map_batches(
+        lambda b: make_media_table(b["media_ref"].to_pylist(), seed=42),
+        batch_format="pyarrow",
+    )
     out = decode_media(media, dim=32)
     return out.select_columns(["media_ref", "mime", "decode_ok"])
 

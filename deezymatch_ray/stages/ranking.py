@@ -520,10 +520,13 @@ class _KeyAndCarry:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         keys = self.derive(batch)  # (id, block_key) distinct
-        # join keys back to the full rows of this batch (small, in-memory)
-        idx = {v: i for i, v in enumerate(batch["id"].to_pylist())}
-        take = pa.array([idx[v] for v in keys["id"].to_pylist()], type=pa.int64())
+        # gather keys back to this batch's rows with an Arrow kernel (the
+        # round-1 Python dict + per-row comprehension was the last row
+        # loop in the hot blocking path)
+        take = pc.index_in(keys["id"], value_set=batch["id"].combine_chunks())
         carried = batch.take(take)
         return carried.append_column("block_key", keys["block_key"])
 

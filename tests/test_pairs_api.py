@@ -219,6 +219,35 @@ def test_api_candidate_ranker(tiny_model_dir):
         assert top.loc[f"c{i:02d}", "faiss_dist"] < 1e-6
 
 
+def test_cached_stage_task_pool_matches_actor_pool(tiny_model_dir):
+    """CachedStage (task pool + per-worker stage cache) must produce
+    identical scores to the actor-pool PairScorer path."""
+    import ray as _ray
+
+    from deezymatch_ray.model.chargru import load_weights
+    from deezymatch_ray.model.vocab import load_vocab
+    from deezymatch_ray.stages.scoring import CachedStage, PairScorer
+
+    d, cfg, pairs = tiny_model_dir
+    w, meta = load_weights(f"{d}/model.npz")
+    weights_ref = _ray.put(w)
+    vocab_ref = _ray.put(load_vocab(f"{d}/vocab.parquet"))
+    kwargs = dict(weights_ref=weights_ref, vocab_ref=vocab_ref, meta=meta,
+                  s1_col="s1", s2_col="s2", with_classical=False,
+                  preprocessing=cfg.preprocessing, tokenization=cfg.tokenization)
+    sub = pairs.limit(64)
+    via_actor = sub.map_batches(
+        PairScorer, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
+        batch_size=16, concurrency=(1, 2),
+    ).to_pandas().sort_values("s1").reset_index(drop=True)
+    via_task = sub.map_batches(
+        CachedStage.of(PairScorer, **kwargs), batch_format="pyarrow",
+        batch_size=16,
+    ).to_pandas().sort_values("s1").reset_index(drop=True)
+    np.testing.assert_allclose(via_actor["pred_score"], via_task["pred_score"],
+                               atol=1e-7)
+
+
 def test_plot_log_renders_svg_and_returns_table(tiny_model_dir, tmp_path):
     """S12: train writes log.json; plot_log renders the 4-panel figure
     and returns the per-epoch table (reference utils.py:726-965)."""
