@@ -225,6 +225,19 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS \"rank\" "
             "FROM embeddings q, embeddings c WHERE q.vec_id < 10) WHERE \"rank\" <= 5"
         ),
+        # q_ann_ivf_topk probes nprobe == n_centroids buckets, i.e. every
+        # bucket — the IVF plan (centroid bucketing + probed search) then
+        # provably returns the exact top-k, so the brute-force SQL is a
+        # legitimate oracle for it (partial-probe recall is covered by
+        # tests/test_dedup_ann.py::test_ivf_topk_recall_vs_exact)
+        "ann_ivf_topk": (
+            "SELECT query_id, candidate_id, \"rank\" FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, "
+            "CAST(row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) "
+            "AS BIGINT) AS \"rank\" "
+            "FROM embeddings q, embeddings c WHERE q.vec_id < 10) WHERE \"rank\" <= 5"
+        ),
         "similar_supplier_names": (
             "SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b, "
             "levenshtein(a.s_name, b.s_name) AS lev, "
