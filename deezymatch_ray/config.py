@@ -91,6 +91,10 @@ class BlockingConfig:
     # to this many groups (s(s+1)/2 tiles); blocks needing more tiles are
     # dropped and surfaced via block stats.
     salt_max_tiles: int = 32
+    # hot-key census runs on the driver below this many keyed rows (the
+    # per-batch partials are already reduced; a distributed groupby's
+    # fixed shuffle overhead dwarfs the work at small scale)
+    driver_census_limit: int = 5_000_000
     salt_hot_blocks: bool = True
 
 

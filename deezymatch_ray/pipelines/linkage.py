@@ -373,18 +373,20 @@ def link_documents(
     # times; dedup BEFORE the model re-scores — distances are identical
     # across blocks, so keep-any is exact
     pairs = dedup_pairs(pairs, cfg.execution.shuffle_partitions)
-    from deezymatch_ray.stages.scoring import PairScorer
+    from deezymatch_ray.stages.scoring import CachedStage, PairScorer
 
+    # task pool + per-worker stage cache: the scorer's state is a
+    # zero-copy plasma fetch, so an actor pool would only add its
+    # per-run process forks (~20 s at 32 CPUs) to the flagship
     scored = pairs.map_batches(
-        PairScorer,
-        fn_constructor_kwargs=dict(
+        CachedStage.of(
+            PairScorer,
             weights_ref=weights_ref, vocab_ref=vocab_ref, meta=meta,
             s1_col="query", s2_col="candidate", with_classical=True,
             preprocessing=cfg.preprocessing, tokenization=cfg.tokenization,
         ),
         batch_format="pyarrow",
         batch_size=cfg.execution.score_batch_size,
-        concurrency=cfg.execution.score_concurrency,
     )
 
     def to_edges(batch: pa.Table) -> pa.Table:

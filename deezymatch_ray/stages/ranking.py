@@ -97,16 +97,20 @@ def prepare_side(
         })
 
     out = ds.map_batches(norm_batch, batch_format="pyarrow")
+    # task pool + per-worker stage cache (scoring.CachedStage): model
+    # state is a zero-copy plasma fetch, so an actor pool would only add
+    # its per-run process forks to every ranking pipeline
+    from deezymatch_ray.stages.scoring import CachedStage
+
     return out.map_batches(
-        Embedder,
-        fn_constructor_kwargs=dict(
+        CachedStage.of(
+            Embedder,
             weights_ref=weights_ref, vocab_ref=vocab_ref, meta=meta,
             text_col="norm_text", preprocessing=cfg.preprocessing,
             tokenization=cfg.tokenization,
         ),
         batch_format="pyarrow",
         batch_size=cfg.execution.score_batch_size,
-        concurrency=cfg.execution.score_concurrency,
     )
 
 
@@ -421,13 +425,23 @@ def salt_hot_blocks(
         vc = df["block_key"].value_counts()
         return pd.DataFrame({"block_key": vc.index.to_numpy(), "n": vc.to_numpy()})
 
-    sizes = (
-        keyed.select_columns(["block_key"])
-        .map_batches(partial_counts, batch_format="pandas")
-        .groupby("block_key")
-        .aggregate(Sum("n", alias_name="n"))
+    partials = keyed.select_columns(["block_key"]).map_batches(
+        partial_counts, batch_format="pandas"
     )
-    hot_rows = sizes.filter(expr=f"n > {cap}").take_all()
+    if keyed.count() <= cfg.blocking.driver_census_limit:
+        # small input: summing the per-batch partials on the driver is a
+        # single map pass; the distributed groupby's fixed shuffle
+        # overhead (~10 s) would dwarf the work (callers pass keyed
+        # MATERIALIZED, so count() here is free)
+        from collections import Counter
+
+        tot: Counter = Counter()
+        for r in partials.take_all():
+            tot[r["block_key"]] += int(r["n"])
+        hot_rows = [{"block_key": k, "n": v} for k, v in tot.items() if v > cap]
+    else:
+        sizes = partials.groupby("block_key").aggregate(Sum("n", alias_name="n"))
+        hot_rows = sizes.filter(expr=f"n > {cap}").take_all()
     if not hot_rows:
         return keyed
     max_tiles = cfg.blocking.salt_max_tiles
@@ -482,9 +496,16 @@ def blocked_pairs(
     Hash-buckets block keys (bounded map_groups invocations, vectorized
     bucket scoring) and repartitions before the groupby so the sort
     shuffle parallelizes regardless of upstream block count. Self-join
-    inputs get hot blocks tile-salted first (salt_hot_blocks)."""
+    inputs get hot blocks tile-salted first (salt_hot_blocks).
+
+    ``keyed`` is materialized first when salting is on: the hot-key
+    census, the salted re-emit and the pair groupby would otherwise each
+    RE-EXECUTE the lazy upstream (including the embedding actor pool —
+    observed 3× the flagship's embed cost). Materialize pins blocks to
+    the (spill-backed) object store — the right trade even at scale,
+    since the alternative is recomputing the most expensive stage."""
     if self_join and cfg.blocking.salt_hot_blocks:
-        keyed = salt_hot_blocks(keyed, cfg)
+        keyed = salt_hot_blocks(keyed.materialize(), cfg)
     P = cfg.execution.shuffle_partitions
     b = bucketize(keyed, ["block_key"], P).repartition(P)
     return b.groupby("__bucket").map_groups(
