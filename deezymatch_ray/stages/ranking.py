@@ -114,26 +114,6 @@ def prepare_side(
     )
 
 
-def _pair_scores(q_emb: np.ndarray, c_emb: np.ndarray, want_cosine: bool):
-    """Squared-L2 (faiss convention) and cosine distances.
-
-    Computed in float64 and cast to float32 so every physical plan
-    (per-block, global matmul, driver oracle) produces bit-identical
-    distances — required for reproducible tie-breaking/thresholding."""
-    q = q_emb.astype(np.float64)
-    c = c_emb.astype(np.float64)
-    d = q - c
-    faiss_d = (d * d).sum(axis=1)
-    cos_d = np.full(len(q_emb), np.nan, dtype=np.float64)
-    if want_cosine:
-        num = (q * c).sum(axis=1)
-        den = np.maximum(
-            np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1), 1e-10
-        )
-        cos_d = 1.0 - num / den
-    return faiss_d.astype(np.float32), cos_d.astype(np.float32)
-
-
 def _stable_bucket(keys, num_buckets: int) -> np.ndarray:
     """Process-stable hash buckets (crc32 — Python hash() is salted per
     process, which would scatter one key across buckets)."""
@@ -241,35 +221,65 @@ def score_block_bucket(df: pd.DataFrame, *, cfg: EngineConfig,
             ci_parts.append(np.tile(cs, len(qs)))
     if not qi_parts:
         return empty
-    qi = np.concatenate(qi_parts)
-    ci = np.concatenate(ci_parts)
-    m = valid[qi] & valid[ci]
-    qi, ci = qi[m], ci[m]
-    if len(qi) == 0:
-        return empty
-    if self_join:
-        # canonical orientation (query_id < candidate_id): row order inside
-        # a block is partition-dependent, so the same unordered pair could
-        # otherwise surface in both orientations from different blocks and
-        # evade dedup_pairs
-        pair_ids = df["id"].to_numpy()
-        swap = pair_ids[qi] > pair_ids[ci]
-        qi2 = np.where(swap, ci, qi)
-        ci2 = np.where(swap, qi, ci)
-        qi, ci = qi2, ci2
-    emb = np.stack(df["emb"].to_numpy()).astype(np.float32)
+    # --- per-pair distances via per-BLOCK gram matmuls ---------------
+    # (the previous plan gathered [P, d] float64 matrices for the full
+    # bucket pair set — multi-GB temporaries at ~10M pairs; the gram
+    # form computes the same float64 ||a||² + ||b||² − 2·a·b that
+    # _GlobalTopK uses, per pair gathers only SCALARS, and runs on BLAS)
+    emb64 = np.stack(df["emb"].to_numpy()).astype(np.float64)
+    nrm2 = (emb64 * emb64).sum(axis=1)
     want_cos = r.calc_cosine or r.ranking_metric == "cosine"
-    faiss_d, cos_d = _pair_scores(emb[qi], emb[ci], want_cos)
-    if r.length_diff is not None:
-        lens = df["norm_text"].str.len().to_numpy()
-        m = np.abs(lens[qi] - lens[ci]) <= r.length_diff
-        qi, ci, faiss_d, cos_d = qi[m], ci[m], faiss_d[m], cos_d[m]
-    if r.ranking_metric in ("faiss", "cosine"):
-        metric = faiss_d if r.ranking_metric == "faiss" else cos_d
-        m = metric <= r.selection_threshold
-        qi, ci, faiss_d, cos_d = qi[m], ci[m], faiss_d[m], cos_d[m]
-    if len(qi) == 0:
+    nrm = np.sqrt(nrm2) if want_cos else None
+    pair_ids = df["id"].to_numpy()
+    lens = (df["norm_text"].str.len().to_numpy()
+            if r.length_diff is not None else None)
+    kq, kc, kf, kcs = [], [], [], []
+    for qi, ci in zip(qi_parts, ci_parts):
+        m = valid[qi] & valid[ci]
+        qi, ci = qi[m], ci[m]
+        if len(qi) == 0:
+            continue
+        if self_join:
+            # canonical orientation (query_id < candidate_id): row order
+            # inside a block is partition-dependent, so the same
+            # unordered pair could otherwise surface in both
+            # orientations from different blocks and evade dedup_pairs
+            swap = pair_ids[qi] > pair_ids[ci]
+            qi2 = np.where(swap, ci, qi)
+            ci2 = np.where(swap, qi, ci)
+            qi, ci = qi2, ci2
+        # the block's member set is small: gather unique rows once,
+        # matmul, then index the gram by local pair positions
+        uniq, inv = np.unique(np.concatenate([qi, ci]), return_inverse=True)
+        li, lj = inv[: len(qi)], inv[len(qi):]
+        E = emb64[uniq]
+        G = E @ E.T
+        dot = G[li, lj]
+        faiss_d = nrm2[qi] + nrm2[ci] - 2.0 * dot
+        np.maximum(faiss_d, 0.0, out=faiss_d)
+        faiss_d = faiss_d.astype(np.float32)
+        if want_cos:
+            cos_d = (1.0 - dot / np.maximum(nrm[qi] * nrm[ci], 1e-10)).astype(np.float32)
+        else:
+            cos_d = np.full(len(qi), np.nan, dtype=np.float32)
+        if r.length_diff is not None:
+            m = np.abs(lens[qi] - lens[ci]) <= r.length_diff
+            qi, ci, faiss_d, cos_d = qi[m], ci[m], faiss_d[m], cos_d[m]
+        if r.ranking_metric in ("faiss", "cosine"):
+            metric = faiss_d if r.ranking_metric == "faiss" else cos_d
+            m = metric <= r.selection_threshold
+            qi, ci, faiss_d, cos_d = qi[m], ci[m], faiss_d[m], cos_d[m]
+        if len(qi):
+            kq.append(qi)
+            kc.append(ci)
+            kf.append(faiss_d)
+            kcs.append(cos_d)
+    if not kq:
         return empty
+    qi = np.concatenate(kq)
+    ci = np.concatenate(kc)
+    faiss_d = np.concatenate(kf)
+    cos_d = np.concatenate(kcs)
     ids = df["id"].to_numpy()
     origs = df["orig"].to_numpy()
     out = pd.DataFrame({
