@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": A.q_token_counts,
         "text_stats": A.q_text_stats,
         "fingerprints": A.q_fingerprints,
+        "rolling_fingerprints": A.q_rolling_fingerprints,
         "lang_id": A.q_lang_id,
         "split_assign": A.q_split_assign,
         "label_counts": A.q_label_counts,
@@ -163,9 +164,36 @@ def _lang_id_sql() -> str:
     )
 
 
+def _rolling_fp_sql(k: int = 8, w: int = 4) -> str:
+    """DuckDB mirror of stages/textstats.rolling_fingerprints: the same
+    polynomial rolling hash per k-gram position, min per w-window
+    (full windows; whole-doc min when fewer than w grams), DISTINCT
+    minima per doc."""
+    from deezymatch_ray.stages.textstats import WINNOW_B, WINNOW_M
+
+    terms = " + ".join(
+        f"(unicode(substr(text, pos + {j}, 1)) * "
+        f"CAST({pow(WINNOW_B, k - 1 - j, WINNOW_M)} AS BIGINT))"
+        for j in range(k)
+    )
+    return (
+        f"WITH p AS (SELECT doc_id, text, "
+        f"unnest(generate_series(1, length(text) - {k} + 1)) AS pos, "
+        f"length(text) - {k} + 1 AS nh "
+        f"FROM documents WHERE length(text) >= {k}), "
+        f"h AS (SELECT doc_id, pos, nh, ({terms}) % {WINNOW_M} AS hv FROM p), "
+        f"wm AS (SELECT doc_id, pos, nh, "
+        f"min(hv) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp FROM h) "
+        f"SELECT DISTINCT doc_id, fp FROM wm "
+        f"WHERE pos <= greatest(nh - {w} + 1, 1)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
+        "rolling_fingerprints": _rolling_fp_sql(),
         "normalize": (
             "SELECT doc_id, lower(trim(text)) AS norm_text FROM documents"
         ),

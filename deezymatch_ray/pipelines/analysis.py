@@ -69,6 +69,12 @@ def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return textstats.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_rolling_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    return textstats.rolling_fingerprints(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=8, w=4
+    )
+
+
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return textstats.lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
 

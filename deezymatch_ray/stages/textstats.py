@@ -70,6 +70,64 @@ def fingerprints(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+WINNOW_B = 257           # polynomial rolling-hash base
+WINNOW_M = (1 << 31) - 1  # Mersenne modulus — keeps every SQL-side term in BIGINT
+
+
+def rolling_fingerprints(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): polynomial rolling hash over every k-char gram, minimum
+    per w-gram window, DISTINCT minima per document → (doc_id, fp).
+
+    Any two documents sharing a substring of length ≥ k + w - 1 share at
+    least one fingerprint (the winnowing guarantee), so the fp column is
+    a join/groupby key for partial-overlap detection at corpus scale —
+    the "rolling hash" fingerprint family next to the exact-dup md5.
+
+    Fully vectorized per document (sliding-window matmul for the hash,
+    sliding min for the window) and mirrored exactly by a DuckDB window
+    query (__ray_entry__), hence hash parameters in plain integer
+    arithmetic rather than a crypto digest.
+    """
+    powers = np.array(
+        [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)], dtype=np.int64
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id: list = []
+        out_fp: list[int] = []
+        for i, t in enumerate(texts):
+            s = t or ""
+            if len(s) < k:
+                continue
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            grams = sliding_window_view(codes, k)          # [n-k+1, k]
+            h = ((grams % WINNOW_M) * powers).sum(axis=1) % WINNOW_M
+            if len(h) < w:
+                mins = np.array([h.min()])
+            else:
+                mins = sliding_window_view(h, w).min(axis=1)
+            for fp in np.unique(mins):
+                out_id.append(ids[i])
+                out_fp.append(int(fp))
+        return pa.table({
+            id_col: pa.array(out_id),
+            "fp": pa.array(out_fp, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # character n-gram profiles per language: crude, deterministic heuristic
 # (the sandbox has no langid model); profiles chosen from orthographic
 # signals that survive in short texts.

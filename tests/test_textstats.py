@@ -23,6 +23,40 @@ MULTILINGUAL = [
 ]
 
 
+def test_rolling_fingerprints_winnowing_guarantee_and_oracle():
+    """Winnowing: docs sharing a substring of length ≥ k+w-1 share ≥ 1
+    fingerprint; edge docs (shorter than k; fewer than w grams) handled;
+    matches the generated DuckDB oracle exactly."""
+    import __ray_entry__ as E
+    from deezymatch_ray.stages.textstats import rolling_fingerprints
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps"  # len 25 ≥ k+w-1
+    rows = [
+        ("d0", f"aaa {shared} zzz unique tail one"),
+        ("d1", f"bbbbb {shared} other ending entirely"),
+        ("d2", "completely different text with no overlap at all"),
+        ("d3", "short"),          # < k → no fingerprints
+        ("d4", "elevenchars"),    # 11 chars → 4 grams = w → 1 full window
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
+    }))
+    got = rolling_fingerprints(ds, k=k, w=w).to_pandas()
+    by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+    assert by_doc["d0"] & by_doc["d1"]            # winnowing guarantee
+    assert "d3" not in by_doc                     # too short
+    assert len(by_doc["d4"]) >= 1
+    con = duckdb.connect()
+    con.register("documents_src", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+    want = con.execute(E.oracle_sql()["rolling_fingerprints"]).df()
+    g = got.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    w_ = want.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    assert g["doc_id"].tolist() == w_["doc_id"].tolist()
+    assert g["fp"].tolist() == w_["fp"].tolist()
+
+
 def test_lang_id_kernel_matches_generated_oracle():
     import __ray_entry__ as E
 
