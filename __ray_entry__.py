@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference text kernels / splits / counts
         "normalize": A.q_normalize,
         "token_counts": A.q_token_counts,
+        "token_counts_bpe": A.q_token_counts_bpe,
         "text_stats": A.q_text_stats,
         "fingerprints": A.q_fingerprints,
         "rolling_fingerprints": A.q_rolling_fingerprints,
@@ -200,6 +201,12 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": (
             "SELECT t AS token, count(*) AS n FROM ("
             "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t "
+            "FROM documents) GROUP BY t"
+        ),
+        "token_counts_bpe": (
+            "SELECT t AS token, count(*) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS t "
             "FROM documents) GROUP BY t"
         ),
         "text_stats": (

@@ -69,6 +69,10 @@ def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return textstats.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
+    return textstats.token_counts_regex(_read(sf_dir, "documents", ["text"]))
+
+
 def q_rolling_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return textstats.rolling_fingerprints(
         _read(sf_dir, "documents", ["doc_id", "text"]), k=8, w=4

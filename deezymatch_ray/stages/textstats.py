@@ -185,3 +185,41 @@ def token_counts(
         .groupby("token")
         .aggregate(Sum("partial_n", alias_name="n"))
     )
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / single punctuation —
+# the GPT-2-style split shape restricted to a pattern Python's re and
+# DuckDB's RE2 interpret identically (no \p classes)
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts_regex(
+    ds: ray.data.Dataset,
+    pattern: str = BPE_SPLIT_PATTERN,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Corpus token frequencies under a regex pre-tokenizer (token, n) —
+    same combiner-then-groupby shape as ``token_counts``; the compiled
+    pattern is the per-batch state."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counter: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            counter.update(rx.findall(t or ""))
+        return pa.table({
+            "token": pa.array(list(counter.keys()), type=pa.string()),
+            "partial_n": pa.array(list(counter.values()), type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )

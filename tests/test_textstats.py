@@ -57,6 +57,32 @@ def test_rolling_fingerprints_winnowing_guarantee_and_oracle():
     assert g["fp"].tolist() == w_["fp"].tolist()
 
 
+def test_token_counts_regex_matches_oracle_on_punct_and_digits():
+    """BPE-ish regex tokenizer (letter runs / digit runs / single
+    punctuation) vs the DuckDB regexp_extract_all oracle on text the sf
+    corpus doesn't exercise (punctuation, digits, mixed runs)."""
+    import __ray_entry__ as E
+    from deezymatch_ray.stages.textstats import token_counts_regex
+
+    rows = [
+        ("d0", "hello, world!! it's 2026-08-17... really?"),
+        ("d1", "abc123def  45.67 (nested) [brackets]"),
+        ("d2", ""),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
+    }))
+    got = token_counts_regex(ds).to_pandas().sort_values("token").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents_src", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+    want = con.execute(E.oracle_sql()["token_counts_bpe"]).df().sort_values(
+        "token").reset_index(drop=True)
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert {"123", "45", ".", ",", "(", "["} <= set(got["token"])
+
+
 def test_lang_id_kernel_matches_generated_oracle():
     import __ray_entry__ as E
 
