@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": A.q_ann_topk,
         "ann_ivf_topk": A.q_ann_ivf_topk,
+        "ann_lsh_topk": A.q_ann_lsh_topk,
         # classical pairwise scoring / per-query top-k
         "similar_supplier_names": A.q_similar_supplier_names,
         "rank_by_levenshtein": A.q_rank_by_levenshtein,
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": A.q_top_customers,
         "events_hourly": A.q_events_hourly,
         "user_sessions": A.q_user_sessions,
+        "events_rolling": A.q_events_rolling,
         "nation_balance": A.q_nation_balance,
         # multimodal plumbing (rows-only: codec is a sandbox stub)
         "media_features": A.q_media_features,
@@ -315,6 +317,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, count(*) AS n_events, "
             "min(ts) AS session_start, max(ts) AS session_end "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "events_rolling": (
+            "SELECT event_id, user_id, CAST(count(*) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS n_win FROM events"
         ),
         "nation_balance": (
             "SELECT n_name, round(avg(s_acctbal), 2) AS avg_bal, "

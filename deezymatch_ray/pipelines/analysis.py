@@ -164,6 +164,14 @@ def q_ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
     return ann.ivf_topk(cands, q_ids, q_mat, k=5, n_centroids=16, nprobe=16)
 
 
+def q_ann_lsh_topk(sf_dir: str) -> ray.data.Dataset:
+    """Random-hyperplane LSH ANN (rows-only: recall is probabilistic;
+    the seeded run is deterministic and pytest pins recall vs exact)."""
+    cands = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_ids, q_mat = ann.load_queries(cands, n_queries=10)
+    return ann.lsh_topk(cands, q_ids, q_mat, k=5, n_bits=4, n_tables=32)
+
+
 # ---------------------------------------------------------------------------
 # classical-similarity ranking over relational tables (M9/K1 shapes)
 # ---------------------------------------------------------------------------
@@ -367,6 +375,29 @@ def q_user_sessions(sf_dir: str) -> ray.data.Dataset:
                     "session_start", "session_end"]]
 
     return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_events_rolling(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate: per event, how many of the same user's
+    events fall in the 1-hour value window ending at (and including)
+    this event — SQL ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW`` semantics (value range, ties included both sides),
+    computed per user with two vectorized searchsorted passes."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    one_hour = np.timedelta64(1, "h")
+
+    def rolling(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy()
+        lo = np.searchsorted(ts, ts - one_hour, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # RANGE includes peers
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "n_win": (hi - lo).astype(np.int64),
+        })
+
+    return ev.groupby("user_id").map_groups(rolling, batch_format="pandas")
 
 
 def q_media_features(sf_dir: str) -> ray.data.Dataset:

@@ -191,3 +191,90 @@ def ivf_topk(
 
     local = candidates.map_batches(local_topk, batch_format="pyarrow")
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def lsh_topk(
+    candidates: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Random-hyperplane LSH top-k (cosine): the second scale path next
+    to IVF. Each of ``n_tables`` tables hashes a vector to the sign
+    pattern of ``n_bits`` seeded Gaussian projections; a candidate is
+    scored against a query only when they collide in SOME table.
+
+    P[bit agrees] = 1 − θ/π per hyperplane, so per-table collision is
+    (1−θ/π)^n_bits and recall ≈ 1 − (1 − (1−θ/π)^n_bits)^n_tables —
+    tunable toward 1 for near neighbors with more tables. Same
+    map-combine-reduce shape and output schema as the exact path;
+    per-candidate extra cost is one [B, n_tables·n_bits] matmul, and
+    only colliding (candidate, query) pairs are scored.
+    """
+    rng = np.random.default_rng(seed)
+    d = query_mat.shape[1]
+    planes = rng.standard_normal((n_tables * n_bits, d))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def signatures(mat: np.ndarray) -> np.ndarray:
+        """[N, n_tables] int bucket ids from sign bits."""
+        bits = (mat @ planes.T) > 0  # [N, n_tables*n_bits]
+        return bits.reshape(len(mat), n_tables, n_bits) @ weights
+
+    q = query_mat.astype(np.float64)
+    qsig = signatures(q)  # [Q, n_tables]
+    bucket_queries: dict[tuple[int, int], list[int]] = {}
+    for qi in range(len(query_ids)):
+        for t in range(n_tables):
+            bucket_queries.setdefault((t, int(qsig[qi, t])), []).append(qi)
+    payload = ray.put((query_ids, q, np.linalg.norm(q, axis=1), bucket_queries))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, qm, qnorm, bq = ray.get(payload)
+        c_ids = np.asarray(batch[id_col].to_pylist())
+        out_q, out_c, out_s = [], [], []
+        if len(c_ids):
+            c = _to_matrix(batch[vec_col])
+            csig = signatures(c)  # [B, n_tables]
+            cn = np.linalg.norm(c, axis=1)
+            # per query: union of colliding candidates across tables
+            probe: dict[int, set[int]] = {}
+            for t in range(n_tables):
+                col = csig[:, t]
+                for ci in range(len(c_ids)):
+                    qidxs = bq.get((t, int(col[ci])))
+                    if qidxs:
+                        for qi in qidxs:
+                            probe.setdefault(qi, set()).add(ci)
+            for qi, cset in probe.items():
+                sel = np.fromiter(cset, dtype=np.int64)
+                sims = (c[sel] @ qm[qi]) / np.maximum(cn[sel] * qnorm[qi], 1e-12)
+                nk = min(k, len(sel))
+                loc = np.lexsort((c_ids[sel], -sims))[:nk]
+                out_q.append(np.full(nk, q_ids[qi]))
+                out_c.append(c_ids[sel[loc]])
+                out_s.append(sims[loc])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "candidate_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "candidate_id": pa.array(np.concatenate(out_c)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["candidate_id"])
+        g = g.sort_values(["sim", "candidate_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "candidate_id", "rank"]]
+
+    local = candidates.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
