@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": A.q_events_hourly,
         "user_sessions": A.q_user_sessions,
         "events_rolling": A.q_events_rolling,
+        "events_asof_purchase": A.q_events_asof_purchase,
         "nation_balance": A.q_nation_balance,
         # multimodal plumbing (rows-only: codec is a sandbox stub)
         "media_features": A.q_media_features,
@@ -323,6 +324,13 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
             "AS BIGINT) AS n_win FROM events"
+        ),
+        "events_asof_purchase": (
+            "SELECT l.event_id, l.user_id, l.ts, r.ts AS last_purchase_ts, "
+            "CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us "
+            "FROM events l ASOF LEFT JOIN "
+            "(SELECT user_id, ts FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND r.ts < l.ts"
         ),
         "nation_balance": (
             "SELECT n_name, round(avg(s_acctbal), 2) AS avg_bal, "

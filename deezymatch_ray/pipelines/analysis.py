@@ -400,6 +400,29 @@ def q_events_rolling(sf_dir: str) -> ray.data.Dataset:
     return ev.groupby("user_id").map_groups(rolling, batch_format="pandas")
 
 
+def q_events_asof_purchase(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join: every event annotated with the same user's most
+    recent strictly-prior purchase timestamp and the exact gap in
+    microseconds (stages/joins.asof_join_latest vs DuckDB ASOF JOIN)."""
+    from deezymatch_ray.stages.joins import asof_join_latest
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ev.select_columns(["event_id", "user_id", "ts"])
+    right = ev.filter(expr="event_type == 'purchase'").select_columns(["user_id", "ts"])
+    joined = asof_join_latest(left, right, key="user_id", ts_col="ts",
+                              out_col="last_purchase_ts")
+
+    def gap(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df["last_purchase_ts"].to_numpy()
+        ts = df["ts"].to_numpy()
+        gi = (ts - lp).astype("timedelta64[us]").view("int64")
+        out = df.copy()
+        out["gap_us"] = pd.arrays.IntegerArray(gi, np.isnat(lp))
+        return out
+
+    return joined.map_batches(gap, batch_format="pandas")
+
+
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing over driver data: media refs from the
     interleaved spans → deterministic fake media store → decode actor
