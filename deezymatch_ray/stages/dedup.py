@@ -144,9 +144,25 @@ def jaccard_near_dup(
 
     docs = ds.select_columns([id_col, text_col])
 
+    # --- hash ONCE: (id, n_sh, packed sorted shingle hashes) per doc,
+    # materialized — census, stats and explode all read this instead of
+    # re-running blake2b over the corpus (3× → 1× hashing) ---
+    def hash_docs(batch: pa.Table) -> pa.Table:
+        hs = _shingle_hashes(batch[text_col].to_pylist(), n)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_sh": pa.array(np.array([len(h) for h in hs], dtype=np.int64)),
+            "sh_blob": pa.array([_pack16(h) for h in hs], type=pa.binary()),
+        })
+
+    hashed = docs.map_batches(hash_docs, batch_format="pyarrow").materialize()
+
+    def _unpack_col(blobs: list) -> list[np.ndarray]:
+        return [np.frombuffer(b or b"", dtype="S16") for b in blobs]
+
     # --- pass 0: hot-shingle census (partial counts → small groupby) ---
     def partial_counts(batch: pa.Table) -> pa.Table:
-        hs = _shingle_hashes(batch[text_col].to_pylist(), n)
+        hs = _unpack_col(batch["sh_blob"].to_pylist())
         nonempty = [h for h in hs if h.size]
         if not nonempty:
             return pa.table({"sh": pa.array([], type=pa.binary()),
@@ -156,7 +172,7 @@ def jaccard_near_dup(
                          "cnt": pa.array(c)})
 
     sizes = (
-        docs.map_batches(partial_counts, batch_format="pyarrow")
+        hashed.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("sh").aggregate(Sum("cnt", alias_name="cnt"))
     )
     hot_rows = sizes.filter(expr=f"cnt > {max_block}").take_all()
@@ -168,22 +184,21 @@ def jaccard_near_dup(
     # --- per-doc stats: shingle count + (short) hot subset ---
     def doc_stats(batch: pa.Table) -> pa.Table:
         hot_arr = ray.get(hot_ref)
-        hs = _shingle_hashes(batch[text_col].to_pylist(), n)
-        n_sh = np.array([len(h) for h in hs], dtype=np.int64)
+        hs = _unpack_col(batch["sh_blob"].to_pylist())
         hot_sub = [_pack16(h[_hot_member(h, hot_arr)]) for h in hs]
         return pa.table({
             id_col: batch[id_col],
-            "n_sh": pa.array(n_sh),
+            "n_sh": batch["n_sh"],
             "hot_sh": pa.array(hot_sub, type=pa.binary()),
         })
 
-    stats = docs.map_batches(doc_stats, batch_format="pyarrow")
+    stats = hashed.map_batches(doc_stats, batch_format="pyarrow")
 
     # --- explode non-hot (shingle_hash, id) rows ---
     def explode(batch: pa.Table) -> pa.Table:
         hot_arr = ray.get(hot_ref)
         ids = batch[id_col].to_pylist()
-        hs = _shingle_hashes(batch[text_col].to_pylist(), n)
+        hs = _unpack_col(batch["sh_blob"].to_pylist())
         keep = [h[~_hot_member(h, hot_arr)] for h in hs]
         counts = [len(h) for h in keep]
         flat = (np.concatenate([h for h in keep if h.size])
@@ -194,7 +209,7 @@ def jaccard_near_dup(
             "id": pa.array(rep_ids),
         })
 
-    keyed = docs.map_batches(explode, batch_format="pyarrow")
+    keyed = hashed.map_batches(explode, batch_format="pyarrow")
 
     # --- per-shingle pair emission (bucketed; blocks ≤ max_block) ---
     from deezymatch_ray.stages.ranking import bucketize
