@@ -153,8 +153,9 @@ class CharGRU:
                 gh = h[:k] @ W_hh.T + b_hh
                 gi = gi_all[:k, t]
                 if self.arch == "gru":
-                    r = sigmoid(gi[:, :H] + gh[:, :H])
-                    z = sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+                    rz = sigmoid(gi[:, : 2 * H] + gh[:, : 2 * H])  # fused r,z
+                    r = rz[:, :H]
+                    z = rz[:, H:]
                     n = np.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
                     h_new = (1.0 - z) * n + z * h[:k]
                 elif self.arch == "lstm":
