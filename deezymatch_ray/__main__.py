@@ -48,6 +48,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--calc_predict", action="store_true")
     p.add_argument("--calc_cosine", action="store_true")
     p.add_argument("--plan", default="global", choices=["global", "blocked"])
+    p.add_argument("-f", "--input_yaml",
+                   help="reference-style input_dfm.yaml (train/finetune/"
+                        "inference config; utils.py:141-162)")
+    p.add_argument("-n", "--cutoff", type=int,
+                   help="inference: over-read 2n rows, trim to first n "
+                        "valid (data_processing.py:332-335,403)")
+    p.add_argument("-tn", "--number_test_rows", type=int, default=-1,
+                   help="candidate_ranker: rank only the first N queries "
+                        "(candidateRanker.py:355-358)")
     args = p.parse_args(argv)
 
     import ray
@@ -59,20 +68,26 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from deezymatch_ray import api
+    from deezymatch_ray.config import DEFAULT_CONFIG, from_yaml
+
+    cfg = from_yaml(args.input_yaml) if args.input_yaml else DEFAULT_CONFIG
 
     try:
         if args.deezy_mode == "train":
             d = api.train(args.input, model_name=args.model,
-                          models_dir=args.models_dir)
+                          models_dir=args.models_dir, cfg=cfg)
             print(json.dumps({"model_dir": d}))
         elif args.deezy_mode == "finetune":
             d = api.finetune(args.input, args.pretrained_model,
-                             model_name=args.model, models_dir=args.models_dir)
+                             model_name=args.model, models_dir=args.models_dir,
+                             cfg=cfg)
             print(json.dumps({"model_dir": d}))
         elif args.deezy_mode == "inference":
             ds, metrics = api.inference(args.model, args.input, mode=args.mode,
+                                        cfg=cfg if args.input_yaml else None,
                                         output_path=args.output,
-                                        one_column=args.one_column)
+                                        one_column=args.one_column,
+                                        cutoff=args.cutoff)
             print(json.dumps({"rows": ds.count(), "metrics": metrics,
                               "output": args.output}))
         elif args.deezy_mode == "combine_vecs":
@@ -90,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
                 calc_predict=args.calc_predict,
                 calc_cosine=args.calc_cosine,
                 plan=args.plan,
+                number_test_rows=args.number_test_rows,
             )
             if args.output:
                 out.write_parquet(args.output)
