@@ -37,14 +37,14 @@ def test_distributed_matches_driver_on_random_graph():
 
 
 def test_long_chain_converges_in_log_rounds():
-    """A 300-node path has diameter 299; plain min-propagation needs
-    ~300 rounds, pointer doubling must finish within 12 (≥ log2(300)+
+    """A 150-node path has diameter 149; plain min-propagation needs
+    ~150 rounds, pointer doubling must finish within 10 (≥ log2(150)+
     margin) and label everything with the chain minimum."""
-    n = 300
+    n = 150
     ids = [f"c{i:04d}" for i in range(n)]
     pairs = [(ids[i], ids[i + 1]) for i in range(n - 1)]
     got = connected_components_distributed(
-        _edges_ds(pairs), max_rounds=12, num_partitions=8
+        _edges_ds(pairs), max_rounds=10, num_partitions=4
     ).to_pandas()
     assert set(got.cluster_id) == {ids[0]}
     assert len(got) == n
