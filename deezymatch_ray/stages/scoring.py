@@ -144,9 +144,15 @@ class CachedStage:
 
         return cls(stage_cls, uuid.uuid4().hex, kwargs)
 
+    _CACHE_CAP = 8  # distinct stages kept per worker process
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         stage = _TASK_STAGE_CACHE.get(self.token)
         if stage is None:
+            # workers are long-lived: without a cap, every pipeline run
+            # (fresh token) would leak its model weights into the cache
+            while len(_TASK_STAGE_CACHE) >= self._CACHE_CAP:
+                _TASK_STAGE_CACHE.pop(next(iter(_TASK_STAGE_CACHE)))
             stage = self.cls(**self.kwargs)
             _TASK_STAGE_CACHE[self.token] = stage
         return stage(batch)
