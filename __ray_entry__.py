@@ -168,6 +168,19 @@ def _lang_id_sql() -> str:
     )
 
 
+def _token_counts_bpe_sql() -> str:
+    """Oracle generated from the SAME pattern constant the kernel
+    compiles (an independently-typed copy drifted once: \\s is
+    Unicode-aware in Python, ASCII-only in RE2)."""
+    from deezymatch_ray.stages.textstats import BPE_SPLIT_PATTERN
+
+    return (
+        "SELECT t AS token, count(*) AS n FROM ("
+        f"SELECT unnest(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS t "
+        "FROM documents) GROUP BY t"
+    )
+
+
 def _rolling_fp_sql(k: int = 8, w: int = 4) -> str:
     """DuckDB mirror of stages/textstats.rolling_fingerprints: the same
     polynomial rolling hash per k-gram position, min per w-window
@@ -206,12 +219,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t "
             "FROM documents) GROUP BY t"
         ),
-        "token_counts_bpe": (
-            "SELECT t AS token, count(*) AS n FROM ("
-            "SELECT unnest(regexp_extract_all(text, "
-            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS t "
-            "FROM documents) GROUP BY t"
-        ),
+        "token_counts_bpe": _token_counts_bpe_sql(),
         "text_stats": (
             "WITH w AS (SELECT doc_id, length(text) AS n_chars, "
             "string_split_regex(trim(text), '\\s+') AS words FROM documents) "

@@ -184,6 +184,21 @@ def finetune(
                  layers_to_freeze=layers_to_freeze, log=log)
 
 
+def _materialize_ordered(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Execute ``ds`` with preserve_order=True and return the
+    materialized result (for "first N rows" semantics — the flag is
+    restored afterwards so other pipelines keep the faster default)."""
+    from ray.data import DataContext
+
+    opts = DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        return ds.materialize()
+    finally:
+        opts.preserve_order = prev
+
+
 def inference(
     model_dir: str,
     pairs: Any,
@@ -200,9 +215,13 @@ def inference(
     ``cutoff`` mirrors the reference's over-read-then-trim rule
     (data_processing.py:332-335,403): read the first ``2*cutoff`` input
     rows, drop rows that fail the missing-char filter, keep the first
-    ``cutoff`` survivors. With ``cutoff=None`` (default) every row is
-    scored and invalid rows stay in the output flagged (NaN score /
-    emb_valid=False) rather than dropped."""
+    ``cutoff`` survivors. "First" is INPUT order: Ray's default
+    ``preserve_order=False`` would make ``limit`` keep an arbitrary
+    subset on multi-block inputs, so the trimmed pipeline executes
+    order-preserving and is materialized here (bounded by the cutoff).
+    With ``cutoff=None`` (default) every row is scored and invalid rows
+    stay in the output flagged (NaN score / emb_valid=False) rather
+    than dropped."""
     weights_ref, vocab_ref, meta, mcfg = load_model_artifacts(model_dir)
     cfg = (cfg or DEFAULT_CONFIG).replace(tokenization=mcfg.tokenization)
     pairs_ds = _as_pairs_ds(pairs, one_column=one_column)
@@ -233,7 +252,9 @@ def inference(
             concurrency=cfg.execution.score_concurrency,
         )
         if cutoff is not None:
-            out = out.filter(expr="emb_valid == True").limit(cutoff)
+            out = _materialize_ordered(
+                out.filter(expr="emb_valid == True").limit(cutoff)
+            )
         if output_path:
             out.write_parquet(output_path)
         return out, {}
@@ -264,9 +285,9 @@ def inference(
 
             return batch.filter(pc.invert(pc.is_nan(batch["pred_score"])))
 
-        scored = scored.map_batches(
-            drop_invalid, batch_format="pyarrow"
-        ).limit(cutoff)
+        scored = _materialize_ordered(
+            scored.map_batches(drop_invalid, batch_format="pyarrow").limit(cutoff)
+        )
     if output_path:
         scored.write_parquet(output_path)  # S6 writer, parquet not TSV
     metrics: dict = {}
@@ -338,9 +359,10 @@ def candidate_ranker(
 
     q_ds = side(queries)
     if number_test_rows > 0:
-        # reference: rank only the first number_test_rows query vectors
-        # (candidateRanker.py:355-358)
-        q_ds = q_ds.limit(number_test_rows)
+        # reference: rank only the FIRST number_test_rows query vectors
+        # (candidateRanker.py:355-358) — ordered-limit semantics need
+        # preserve_order (see _materialize_ordered)
+        q_ds = _materialize_ordered(q_ds.limit(number_test_rows))
     fn = rank_global if plan == "global" else rank_blocked
     return fn(q_ds, side(candidates), cfg, weights_ref, vocab_ref, meta)
 

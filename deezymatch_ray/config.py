@@ -90,7 +90,11 @@ class BlockingConfig:
     # Self-join blocks larger than max_block_size are tile-salted into up
     # to this many groups (s(s+1)/2 tiles); blocks needing more tiles are
     # dropped and surfaced via block stats.
-    salt_max_tiles: int = 32
+    # sized so the largest salvageable hot block matches the round-1
+    # rule (tiles are now targeted at max_block_size/2 for cap headroom,
+    # which doubles the tile count per block — 64 tiles × cap/2 keeps
+    # the same ~max_block_size×32 member ceiling before a block drops)
+    salt_max_tiles: int = 64
     # hot-key census runs on the driver below this many keyed rows (the
     # per-batch partials are already reduced; a distributed groupby's
     # fixed shuffle overhead dwarfs the work at small scale)

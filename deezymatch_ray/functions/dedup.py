@@ -1,8 +1,8 @@
 """Deduplication kernels: shingling, stable hashing, MinHash, SimHash.
 
 These are the scalar/batch building blocks for the dedup stages
-(deezymatch_ray/stages/dedup.py) — all deterministic (seeded, hashlib-
-based; never Python's randomized ``hash()``) so every actor replica and
+(deezymatch_ray/stages/dedup.py) — all deterministic (seeded, fixed-key
+siphash; never Python's randomized ``hash()``) so every actor replica and
 every rerun produces identical signatures, which checkpoint/resume and
 the driver's correctness compare both rely on.
 
@@ -16,7 +16,6 @@ across the whole batch (k passes over the flattened shingle array +
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -68,7 +67,7 @@ def minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     """k (a, b) pairs for h_i(x) = a_i * x + b_i in uint64 wrap-around
     arithmetic. a_i is forced odd, making x → a_i·x + b_i a bijection on
     Z/2^64 — a perfectly valid (and branch-free) MinHash permutation
-    family given blake2b-uniform inputs."""
+    family given siphash-uniform inputs."""
     rng = np.random.default_rng(seed)
     a = rng.integers(0, _U64_MAX, size=k, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, _U64_MAX, size=k, dtype=np.uint64)

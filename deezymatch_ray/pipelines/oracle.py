@@ -89,9 +89,14 @@ def oracle_rank(
             continue
         c64 = c_emb.astype(np.float64)
         q64 = q_emb[i].astype(np.float64)
-        d = c64 - q64
-        faiss_d = (d * d).sum(axis=1).astype(np.float32)
-        num = (c64 * q64).sum(axis=1)
+        # the SAME float64 gram form both physical plans compute
+        # (||q||² + ||c||² − 2·q·c, clamped) — the difference form
+        # (q−c)² differs in the last ulps and can flip a float32
+        # threshold/tie at the boundary
+        num = c64 @ q64
+        faiss_d = (c64 * c64).sum(axis=1) + (q64 * q64).sum() - 2.0 * num
+        np.maximum(faiss_d, 0.0, out=faiss_d)
+        faiss_d = faiss_d.astype(np.float32)
         den = np.maximum(np.linalg.norm(c64, axis=1) * np.linalg.norm(q64), 1e-10)
         cos_d = (1.0 - num / den).astype(np.float32)
         mask = c_valid.copy()

@@ -31,6 +31,23 @@ def _to_matrix(col) -> np.ndarray:
     )
 
 
+def _merge_topk(k: int):
+    """Per-query global reducer shared by every ANN plan: dedup
+    candidates (a pair may surface from several buckets/tables), order
+    by the pinned (sim desc, candidate_id asc) tie-break, truncate to
+    k, assign 1-based ranks. One definition so a tie-break fix can
+    never drift between plans."""
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["candidate_id"])
+        g = g.sort_values(["sim", "candidate_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "candidate_id", "rank"]]
+
+    return merge
+
+
 def brute_force_topk(
     candidates: ray.data.Dataset,
     query_ids: np.ndarray,
@@ -74,14 +91,8 @@ def brute_force_topk(
             "sim": pa.array(np.concatenate(rows_s)),
         })
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "candidate_id"], ascending=[False, True],
-                              kind="stable").head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "candidate_id", "rank"]]
-
     local = candidates.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
 def load_queries(
@@ -182,15 +193,8 @@ def ivf_topk(
             "sim": pa.array(np.concatenate(out_s)),
         })
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["candidate_id"])
-        g = g.sort_values(["sim", "candidate_id"], ascending=[False, True],
-                          kind="stable").head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "candidate_id", "rank"]]
-
     local = candidates.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
 def lsh_topk(
@@ -269,12 +273,5 @@ def lsh_topk(
             "sim": pa.array(np.concatenate(out_s)),
         })
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["candidate_id"])
-        g = g.sort_values(["sim", "candidate_id"], ascending=[False, True],
-                          kind="stable").head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "candidate_id", "rank"]]
-
     local = candidates.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")

@@ -429,7 +429,6 @@ def minhash_lsh_near_dup(
     threshold: float = 0.5,
     seed: int = 7,
     max_block: int = 10_000,
-    concurrency: tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
     """Approximate near-dup pairs (doc_a < doc_b, est_jaccard) at scale:
     only signatures shuffle; candidate pairs come from banded LSH."""
@@ -442,11 +441,30 @@ def minhash_lsh_near_dup(
     )
     rows_per_band = k // n_bands
 
+    def _pair_index_chunks(m: int, target: int):
+        """Yield (a_idx, b_idx) covering all i<j pairs without ever
+        materializing the full triu index arrays (O(m²) int64 — ~800 MB
+        at max_block; per-chunk memory is O(target))."""
+        r0 = 0
+        while r0 < m - 1:
+            r1 = r0
+            total = 0
+            while r1 < m - 1 and total + (m - r1 - 1) <= max(target, m - r1 - 1):
+                total += m - r1 - 1
+                r1 += 1
+            rows = np.arange(r0, r1)
+            counts = m - rows - 1
+            a = np.repeat(rows, counts)
+            b = np.concatenate([np.arange(r + 1, m) for r in rows]) if len(rows) else np.array([], dtype=np.int64)
+            yield a, b
+            r0 = r1
+
     def block(group: pd.DataFrame) -> pd.DataFrame:
         """Vectorized pair verification: signature equality, band
         ownership (first fully-equal band owns the pair) and the
-        estimate threshold all evaluate as [pairs, k] matrix ops,
-        chunked so peak memory stays ~tens of MB even at max_block."""
+        estimate threshold all evaluate as [pairs, k] matrix ops, with
+        pair indices GENERATED in bounded chunks so peak memory stays
+        ~tens of MB even at max_block."""
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
         m = len(group)
         if m < 2 or m > max_block:
@@ -457,11 +475,8 @@ def minhash_lsh_near_dup(
         sigs = np.stack(group["sig"].to_numpy()[order]).view(np.uint64)
         kk = sigs.shape[1]
         nb = kk // rows_per_band
-        ii, jj = np.triu_indices(m, 1)
         out_a, out_b, out_j = [], [], []
-        CH = 1 << 18
-        for s in range(0, len(ii), CH):
-            a, b = ii[s : s + CH], jj[s : s + CH]
+        for a, b in _pair_index_chunks(m, 1 << 18):
             eq = sigs[a] == sigs[b]  # [c, k]
             est = eq.mean(axis=1)
             full = eq[:, : nb * rows_per_band].reshape(len(a), nb, rows_per_band).all(axis=2)

@@ -189,8 +189,11 @@ def token_counts(
 
 # BPE-ish pre-tokenizer: letter runs / digit runs / single punctuation —
 # the GPT-2-style split shape restricted to a pattern Python's re and
-# DuckDB's RE2 interpret identically (no \p classes)
-BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# DuckDB's RE2 interpret identically: no \p classes, and an EXPLICIT
+# ASCII whitespace set (\s is Unicode-aware in Python but ASCII-only in
+# RE2, so a bare \s would make the two sides tokenize NBSP/vertical-tab
+# differently)
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\x0b\x0c\r ]"
 
 
 def token_counts_regex(

@@ -230,7 +230,9 @@ def run_stage(
 
     import ray as _ray
 
-    cpus = int(_ray.available_resources().get("CPU", 2) or 2)
+    # cluster size, not instantaneous free CPUs: a momentarily busy
+    # cluster must not throttle the whole run to max_concurrent=1
+    cpus = int(_ray.cluster_resources().get("CPU", 2) or 2)
     max_concurrent = max(1, min(max_concurrent, cpus // 2))
 
     os.makedirs(out_dir, exist_ok=True)

@@ -166,6 +166,18 @@ def test_api_inference_cutoff_overread_then_trim(tiny_model_dir):
     emb, _ = api.inference(d, poisoned, mode="vect", cfg=cfg, cutoff=cutoff)
     assert emb.count() == cutoff
 
+    # determinism on MULTI-block inputs (Ray's default preserve_order=
+    # False would let limit() keep an arbitrary subset): repeated runs
+    # over a 10-block input must return the same first-N rows
+    multi = ray.data.from_arrow(
+        pa.Table.from_pandas(base, preserve_index=False)
+    ).repartition(10)
+    runs = []
+    for _ in range(2):
+        s, _ = api.inference(d, multi, mode="test", cfg=cfg, cutoff=cutoff)
+        runs.append(s.to_pandas()["s1"].tolist())
+    assert runs[0] == runs[1] == want_s1
+
 
 def test_api_candidate_ranker_number_test_rows(tiny_model_dir):
     """candidateRanker.py:355-358: only the first number_test_rows
