@@ -576,6 +576,116 @@ def simhash_near_dup(
     return keyed.groupby("seg_key").map_groups(block, batch_format="pandas")
 
 
+def embedding_near_dup_lsh(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    round_to: int = 3,
+    n_bits: int = 5,
+    n_tables: int = 48,
+    seed: int = 7,
+    max_block: int = 20_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Scale path for ``embedding_near_dup``: hyperplane-LSH candidate
+    generation + EXACT cosine verification — same output schema, no
+    broadcast of the full matrix.
+
+    Each vector hashes to ``n_tables`` sign-pattern buckets; candidate
+    pairs share SOME bucket, with min-table ownership so each pair is
+    verified once. Recall for a pair at angle θ is
+    1 − (1 − (1−θ/π)^n_bits)^n_tables (tunable toward 1 with more
+    tables); verified similarities are exact, so false positives are
+    impossible. Shuffle carries n_tables small rows per vector."""
+    import zlib
+
+    rng = np.random.default_rng(seed)
+
+    def dim_of() -> int:
+        sch = ds.schema()
+        t = dict(zip(sch.names, sch.types))[vec_col]
+        if pa.types.is_fixed_size_list(t):
+            return t.list_size
+        first = ds.limit(1).take_all()[0][vec_col]
+        return len(first)
+
+    d = dim_of()
+    planes = rng.standard_normal((n_tables * n_bits, d))
+    planes_ref = ray.put(planes)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = batch[id_col].to_pylist()
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in batch[vec_col].to_pylist()]).astype(np.float64)
+        bits = (mat @ pl.T) > 0
+        sig = bits.reshape(len(ids), n_tables, n_bits) @ weights  # [N, T]
+        row_keys = [
+            [f"{t}:{int(sig[i, t])}" for t in range(n_tables)]
+            for i in range(len(ids))
+        ]
+        joined = ["|".join(ks) for ks in row_keys]
+        keys, out_id, out_vec, out_all = [], [], [], []
+        for i, rid in enumerate(ids):
+            for t in range(n_tables):
+                keys.append(row_keys[i][t])
+                out_id.append(rid)
+                out_vec.append(mat[i].astype(np.float32))
+                # all table buckets of this vector, for min-bucket ownership
+                out_all.append(joined[i])
+        vecs = np.stack(out_vec) if out_vec else np.empty((0, d), np.float32)
+        return pa.table({
+            "bkey": pa.array(keys, type=pa.string()),
+            "id": pa.array(out_id),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), d),
+            "all_keys": pa.array(out_all, type=pa.string()),
+        })
+
+    keyed = ds.select_columns([id_col, vec_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        out_a, out_b, out_s = [], [], []
+        for bkey, g in df.groupby("bkey", sort=False):
+            m = len(g)
+            if m < 2 or m > max_block:
+                continue
+            order = np.argsort(g["id"].to_numpy(), kind="stable")
+            ids = g["id"].to_numpy()[order]
+            allk = g["all_keys"].to_numpy()[order]
+            mat = np.stack(g["vec"].to_numpy()[order]).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            G = mat @ mat.T
+            iu, il = np.triu_indices(m, 1)
+            sims = G[iu, il] / np.maximum(nrm[iu] * nrm[il], 1e-12)
+            keep = (sims >= threshold) & (ids[iu] != ids[il])
+            for a, b, s in zip(iu[keep], il[keep], sims[keep]):
+                # min shared bucket owns the pair (dedup across tables)
+                shared = set(allk[a].split("|")) & set(allk[b].split("|"))
+                if min(shared) != bkey:
+                    continue
+                out_a.append(ids[a])
+                out_b.append(ids[b])
+                out_s.append(round(float(s), round_to))
+        if not out_a:
+            return empty
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos_sim": out_s})
+
+    from deezymatch_ray.stages.ranking import bucketize
+
+    return bucketize(keyed, ["bkey"], num_partitions).groupby(
+        "__bucket"
+    ).map_groups(
+        lambda df: verify(df.drop(columns=["__bucket"])),
+        batch_format="pandas",
+    )
+
+
 def embedding_near_dup(
     ds: ray.data.Dataset,
     vec_col: str = "embedding",
@@ -585,8 +695,9 @@ def embedding_near_dup(
 ) -> ray.data.Dataset:
     """Exact cosine near-dup pairs (vec_a < vec_b, cos_sim) via one pass
     of row-blocks against the broadcast full matrix (``ray.put`` once).
-    Valid while the matrix fits in the object store; beyond that, use
-    the IVF route in stages/ann.py."""
+    Valid while the matrix fits in the object store; beyond that,
+    ``embedding_near_dup_lsh`` is the no-broadcast scale path (exact
+    verification, LSH-bounded recall)."""
     import ray as _ray
 
     tbl = pa.concat_tables(

@@ -167,6 +167,23 @@ def test_simhash_near_dup_verified_by_exact_hamming(docs_ds):
     assert not got.duplicated(subset=["doc_a", "doc_b"]).any()
 
 
+def test_embedding_near_dup_lsh_scale_path(docs_ds, con):
+    """No-broadcast LSH scale path: verified similarities are exact
+    (zero false positives, values equal the broadcast path's) and
+    recall at the default params clears 0.95 on the driver embeddings."""
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = dedup.embedding_near_dup(ds, threshold=0.4).to_pandas()
+    approx = dedup.embedding_near_dup_lsh(ds, threshold=0.4).to_pandas()
+    e = set(zip(exact.vec_a, exact.vec_b))
+    a = set(zip(approx.vec_a, approx.vec_b))
+    assert not (a - e)  # exact verification → no false positives
+    assert len(e & a) / len(e) >= 0.95
+    merged = approx.merge(exact, on=["vec_a", "vec_b"], suffixes=("_l", "_e"))
+    assert (merged.cos_sim_l == merged.cos_sim_e).all()
+    assert not approx.duplicated(subset=["vec_a", "vec_b"]).any()  # min-bucket ownership
+
+
 def test_ann_topk_matches_sql(con):
     cands = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
     q_ids, q_mat = ann.load_queries(cands, n_queries=5)
