@@ -692,17 +692,30 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     threshold: float = 0.4,
     round_to: int = 3,
+    broadcast_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Exact cosine near-dup pairs (vec_a < vec_b, cos_sim) via one pass
     of row-blocks against the broadcast full matrix (``ray.put`` once).
-    Valid while the matrix fits in the object store; beyond that,
-    ``embedding_near_dup_lsh`` is the no-broadcast scale path (exact
-    verification, LSH-bounded recall)."""
+    Refuses LOUDLY past ``broadcast_limit`` rows (the driver-side
+    concat + broadcast would OOM long before producing wrong results) —
+    beyond it, ``embedding_near_dup_lsh`` is the no-broadcast scale
+    path (exact verification, LSH-bounded recall)."""
     import ray as _ray
 
-    tbl = pa.concat_tables(
-        ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow")
-    )
+    batches = []
+    n_rows = 0
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+        n_rows += b.num_rows
+        if n_rows > broadcast_limit:
+            # abort DURING the single driver pass, before the concat +
+            # broadcast can OOM (no extra pipeline consumption for the check)
+            raise ValueError(
+                f"embedding_near_dup materializes every vector on the driver "
+                f"and broadcasts them (>{broadcast_limit} rows seen); use "
+                "embedding_near_dup_lsh for corpora past the object-store bound"
+            )
+        batches.append(b)
+    tbl = pa.concat_tables(batches)
     ids = np.asarray(tbl[id_col].to_pylist())
     mat = np.stack([np.asarray(v, dtype=np.float32) for v in tbl[vec_col].to_pylist()])
     mat64 = mat.astype(np.float64)
