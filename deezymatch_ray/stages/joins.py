@@ -72,6 +72,20 @@ def asof_join_latest(
 
     side = "left" if strict else "right"
 
+    # The null-padded right rows make pandas widen int columns to float64
+    # when the Arrow block converts for map_groups; carried left columns
+    # must be cast back to the LEFT schema's dtypes on emit or the output
+    # silently changes type (and corrupts int ids above 2**53).
+    pd_dtypes = (
+        pa.table({c: pa.array([], type=ltypes[c]) for c in lcols})
+        .to_pandas()
+        .dtypes.to_dict()
+    )
+
+    def _restore_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        bad = {c: pd_dtypes[c] for c in lcols if df[c].dtype != pd_dtypes[c]}
+        return df.astype(bad) if bad else df
+
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         """One hash bucket holds MANY keys: resolve per key (vectorized
         searchsorted within each key's rows; Python cost is O(#keys))."""
@@ -80,7 +94,7 @@ def asof_join_latest(
         r = df[~lmask]
         nat = np.datetime64("NaT", "us")
         if len(l) == 0:
-            return l.drop(columns="__side").assign(
+            return _restore_dtypes(l.drop(columns="__side")).assign(
                 **{out_col: np.array([], dtype="datetime64[us]")}
             )
         rmap = {k: np.sort(g[ts_col].to_numpy()) for k, g in r.groupby(key, sort=False)}
@@ -94,7 +108,7 @@ def asof_join_latest(
                 idx = np.searchsorted(rts, lts, side=side) - 1
                 vals = np.where(idx >= 0, rts[np.maximum(idx, 0)], nat)
             parts.append(g.drop(columns="__side").assign(**{out_col: vals}))
-        return pd.concat(parts, ignore_index=True)
+        return _restore_dtypes(pd.concat(parts, ignore_index=True))
 
     return bucketize(unioned, [key], num_partitions).groupby(
         "__bucket"

@@ -45,6 +45,10 @@ def test_asof_join_latest_matches_bruteforce():
     for strict in (True, False):
         got = asof_join_latest(left, right, key="k", ts_col="ts",
                                strict=strict, num_partitions=8).to_pandas()
+        # carried left columns keep their input dtypes: the null-padded
+        # union must not leak pandas' int64->float64 widening
+        assert got["event_id"].dtype == np.int64, got.dtypes
+        assert got["k"].dtype == object
         got = got.sort_values("event_id").reset_index(drop=True)
         rmap: dict[str, list] = {}
         for k, ts in right_rows:
