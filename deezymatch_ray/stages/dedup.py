@@ -101,6 +101,25 @@ def _hot_member(h: np.ndarray, hot: np.ndarray) -> np.ndarray:
     return hot[idx] == h
 
 
+def _pair_index_chunks(m: int, target: int):
+    """Yield (a_idx, b_idx) covering all i<j pairs without ever
+    materializing the full triu index arrays (O(m²) int64 — ~800 MB
+    at a 10k block; per-chunk memory is O(target))."""
+    r0 = 0
+    while r0 < m - 1:
+        r1 = r0
+        total = 0
+        while r1 < m - 1 and total + (m - r1 - 1) <= max(target, m - r1 - 1):
+            total += m - r1 - 1
+            r1 += 1
+        rows = np.arange(r0, r1)
+        counts = m - rows - 1
+        a = np.repeat(rows, counts)
+        b = np.concatenate([np.arange(r + 1, m) for r in rows]) if len(rows) else np.array([], dtype=np.int64)
+        yield a, b
+        r0 = r1
+
+
 def _pack16(arr: np.ndarray) -> bytes:
     """Pack an 'S16' hash array into one blob (Acero joins reject
     list<binary> non-key fields; a flat binary column joins fine)."""
@@ -441,24 +460,6 @@ def minhash_lsh_near_dup(
     )
     rows_per_band = k // n_bands
 
-    def _pair_index_chunks(m: int, target: int):
-        """Yield (a_idx, b_idx) covering all i<j pairs without ever
-        materializing the full triu index arrays (O(m²) int64 — ~800 MB
-        at max_block; per-chunk memory is O(target))."""
-        r0 = 0
-        while r0 < m - 1:
-            r1 = r0
-            total = 0
-            while r1 < m - 1 and total + (m - r1 - 1) <= max(target, m - r1 - 1):
-                total += m - r1 - 1
-                r1 += 1
-            rows = np.arange(r0, r1)
-            counts = m - rows - 1
-            a = np.repeat(rows, counts)
-            b = np.concatenate([np.arange(r + 1, m) for r in rows]) if len(rows) else np.array([], dtype=np.int64)
-            yield a, b
-            r0 = r1
-
     def block(group: pd.DataFrame) -> pd.DataFrame:
         """Vectorized pair verification: signature equality, band
         ownership (first fully-equal band owns the pair) and the
@@ -545,6 +546,9 @@ def simhash_near_dup(
         })
 
     def block(group: pd.DataFrame) -> pd.DataFrame:
+        """Pair indices GENERATED in bounded chunks (_pair_index_chunks)
+        so peak memory stays ~tens of MB even at max_block — never the
+        full O(m²) triu index arrays."""
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
         m = len(group)
         if m < 2 or m > max_block:
@@ -553,23 +557,29 @@ def simhash_near_dup(
         order = np.argsort(group["id"].to_numpy(), kind="stable")
         ids = group["id"].to_numpy()[order]
         sigs = group["sig"].to_numpy()[order].view(np.uint64)
-        ii, jj = np.triu_indices(m, 1)
-        if len(ii) == 0:
-            return empty
-        hd = hamming64(sigs[ii], sigs[jj])
-        keep = (hd <= max_hamming) & (ids[ii] != ids[jj])
-        ii, jj, hd = ii[keep], jj[keep], hd[keep]
-        if len(ii) == 0:
-            return empty
-        # min-segment emission: the first matching segment owns the pair
-        # (≥1 segment matches by pigeonhole: hd ≤ r with r+1 segments)
         shifts = np.arange(n_seg, dtype=np.uint64) * np.uint64(seg_bits)
         seg_mask = np.uint64((1 << seg_bits) - 1)
-        a_seg = (sigs[ii][:, None] >> shifts) & seg_mask  # [p, n_seg]
-        b_seg = (sigs[jj][:, None] >> shifts) & seg_mask
-        own = (a_seg == b_seg).argmax(axis=1) == seg_idx
+        out_a, out_b, out_h = [], [], []
+        for ii, jj in _pair_index_chunks(m, 1 << 18):
+            hd = hamming64(sigs[ii], sigs[jj])
+            keep = (hd <= max_hamming) & (ids[ii] != ids[jj])
+            ii, jj, hd = ii[keep], jj[keep], hd[keep]
+            if len(ii) == 0:
+                continue
+            # min-segment emission: the first matching segment owns the
+            # pair (≥1 segment matches by pigeonhole: hd ≤ r, r+1 segments)
+            a_seg = (sigs[ii][:, None] >> shifts) & seg_mask  # [p, n_seg]
+            b_seg = (sigs[jj][:, None] >> shifts) & seg_mask
+            own = (a_seg == b_seg).argmax(axis=1) == seg_idx
+            out_a.append(ids[ii[own]])
+            out_b.append(ids[jj[own]])
+            out_h.append(hd[own])
+        if not out_a:
+            return empty
         return pd.DataFrame({
-            "doc_a": ids[ii[own]], "doc_b": ids[jj[own]], "hamming": hd[own]
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
         })
 
     keyed = ds.map_batches(explode, batch_format="pyarrow")
@@ -582,25 +592,65 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
     threshold: float = 0.4,
     round_to: int = 3,
-    n_bits: int = 5,
-    n_tables: int = 48,
+    n_bits: int | None = None,
+    n_tables: int | None = None,
     seed: int = 7,
     max_block: int = 20_000,
     num_partitions: int = 64,
+    stats_out: dict | None = None,
 ) -> ray.data.Dataset:
     """Scale path for ``embedding_near_dup``: hyperplane-LSH candidate
     generation + EXACT cosine verification — same output schema, no
     broadcast of the full matrix.
 
-    Each vector hashes to ``n_tables`` sign-pattern buckets; candidate
-    pairs share SOME bucket, with min-table ownership so each pair is
-    verified once. Recall for a pair at angle θ is
-    1 − (1 − (1−θ/π)^n_bits)^n_tables (tunable toward 1 with more
-    tables); verified similarities are exact, so false positives are
-    impossible. Shuffle carries n_tables small rows per vector."""
-    import zlib
+    Each vector hashes to ``n_tables`` sign-pattern buckets. Every
+    bucket verifies ALL of its pairs — oversized buckets are processed
+    in bounded-memory row tiles (chunked gemm slabs), never skipped, so
+    pair loss is impossible inside a shared bucket (round-3 fix: the
+    old plan silently dropped every pair in buckets past ``max_block``,
+    which at default n_bits=5 was *most* buckets beyond ~640k vectors).
+    A pair sharing several buckets is emitted by each and deduplicated
+    by a global ``groupby(pair).min`` — a small shuffle over surviving
+    pairs only (the verified sim is identical in every copy).
+
+    Recall for a pair at angle θ is 1 − (1 − (1−θ/π)^n_bits)^n_tables;
+    verified similarities are exact, so false positives are impossible.
+
+    ``n_bits=None`` auto-sizes from the corpus: expected per-table
+    bucket ≈ n/2^n_bits is held to ``max_block/4`` (floor 5 — identical
+    to the documented reference point on small corpora), and
+    ``n_tables=None`` then grows the table count to preserve the
+    (n_bits=5, 48-table) recall at the configured ``threshold``. Auto
+    mode costs one ``ds.count()`` (metadata-cheap on a parquet read;
+    pass both explicitly to skip it on an expensive lazy input).
+
+    Shuffle volume: each vector ships ``n_tables`` times as a
+    (small-string bucket key, id, float32 vector) row — linear in the
+    corpus with an n_tables constant, the standard LSH trade: more
+    tables buy recall with proportional shuffle.
+
+    ``stats_out`` (if given) receives n_bits / n_tables / n_buckets /
+    oversized_buckets so bucket skew is visible (costs one extra small
+    aggregation over the exploded keys)."""
+    import math
 
     rng = np.random.default_rng(seed)
+
+    if n_bits is None or n_tables is None:
+        n_rows = ds.count()
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        if n_bits is None:
+            n_bits = max(5, math.ceil(math.log2(max(4 * n_rows / max_block, 1))))
+        if n_tables is None:
+            target_recall = 1 - (1 - p ** 5) ** 48
+            miss = max(1.0 - p ** n_bits, 1e-12)
+            n_tables = max(48, math.ceil(
+                math.log(max(1 - target_recall, 1e-12)) / math.log(miss) - 1e-9
+            ))
+            n_tables = min(n_tables, 512)
+    if stats_out is not None:
+        stats_out["n_bits"] = n_bits
+        stats_out["n_tables"] = n_tables
 
     def dim_of() -> int:
         sch = ds.schema()
@@ -617,72 +667,97 @@ def embedding_near_dup_lsh(
 
     def explode(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col]
+        n = batch.num_rows
         mat = np.stack([np.asarray(v, dtype=np.float32)
                         for v in batch[vec_col].to_pylist()]).astype(np.float64)
         bits = (mat @ pl.T) > 0
-        sig = bits.reshape(len(ids), n_tables, n_bits) @ weights  # [N, T]
-        row_keys = [
-            [f"{t}:{int(sig[i, t])}" for t in range(n_tables)]
-            for i in range(len(ids))
-        ]
-        joined = ["|".join(ks) for ks in row_keys]
-        keys, out_id, out_vec, out_all = [], [], [], []
-        for i, rid in enumerate(ids):
-            for t in range(n_tables):
-                keys.append(row_keys[i][t])
-                out_id.append(rid)
-                out_vec.append(mat[i].astype(np.float32))
-                # all table buckets of this vector, for min-bucket ownership
-                out_all.append(joined[i])
-        vecs = np.stack(out_vec) if out_vec else np.empty((0, d), np.float32)
+        sig = bits.reshape(n, n_tables, n_bits) @ weights  # [N, T]
+        keys = [f"{t}:{int(sig[i, t])}" for i in range(n) for t in range(n_tables)]
+        rep = np.repeat(np.arange(n), n_tables)
+        vecs = mat.astype(np.float32)[rep]
         return pa.table({
             "bkey": pa.array(keys, type=pa.string()),
-            "id": pa.array(out_id),
+            "id": ids.take(pa.array(rep)),
             "vec": pa.FixedSizeListArray.from_arrays(
                 pa.array(vecs.reshape(-1)), d),
-            "all_keys": pa.array(out_all, type=pa.string()),
         })
 
     keyed = ds.select_columns([id_col, vec_col]).map_batches(
         explode, batch_format="pyarrow"
     )
 
+    if stats_out is not None:
+        from ray.data.aggregate import Count
+
+        keyed = keyed.materialize()  # census + verify both consume it
+        sizes = (
+            keyed.select_columns(["bkey"]).groupby("bkey")
+            .aggregate(Count(alias_name="cnt")).materialize()
+        )
+        stats_out["n_buckets"] = sizes.count()
+        stats_out["oversized_buckets"] = sizes.filter(
+            expr=f"cnt > {max_block}"
+        ).count()
+
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
         out_a, out_b, out_s = [], [], []
-        for bkey, g in df.groupby("bkey", sort=False):
+        for _, g in df.groupby("bkey", sort=False):
             m = len(g)
-            if m < 2 or m > max_block:
+            if m < 2:
                 continue
             order = np.argsort(g["id"].to_numpy(), kind="stable")
             ids = g["id"].to_numpy()[order]
-            allk = g["all_keys"].to_numpy()[order]
             mat = np.stack(g["vec"].to_numpy()[order]).astype(np.float64)
             nrm = np.linalg.norm(mat, axis=1)
-            G = mat @ mat.T
-            iu, il = np.triu_indices(m, 1)
-            sims = G[iu, il] / np.maximum(nrm[iu] * nrm[il], 1e-12)
-            keep = (sims >= threshold) & (ids[iu] != ids[il])
-            for a, b, s in zip(iu[keep], il[keep], sims[keep]):
-                # min shared bucket owns the pair (dedup across tables)
-                shared = set(allk[a].split("|")) & set(allk[b].split("|"))
-                if min(shared) != bkey:
-                    continue
-                out_a.append(ids[a])
-                out_b.append(ids[b])
-                out_s.append(round(float(s), round_to))
+            col = np.arange(m)
+            # row tiles: the [tile, m] gemm slab + mask stay ~tens of MB
+            # no matter how large a skewed bucket grows (never a full
+            # O(m²) gram matrix, never a skip)
+            tile = max(1, (1 << 22) // m)
+            for r0 in range(0, m - 1, tile):
+                r1 = min(r0 + tile, m)
+                rows = np.arange(r0, r1)
+                sims = (mat[r0:r1] @ mat.T) / np.maximum(
+                    nrm[rows][:, None] * nrm[None, :], 1e-12
+                )
+                hit = (
+                    (sims >= threshold)
+                    & (col[None, :] > rows[:, None])
+                    & (ids[None, :] != ids[rows][:, None])
+                )
+                ri, ci = np.nonzero(hit)
+                out_a.append(ids[rows[ri]])
+                out_b.append(ids[ci])
+                out_s.append(sims[ri, ci])
         if not out_a:
             return empty
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos_sim": out_s})
+        a = np.concatenate(out_a)
+        if len(a) == 0:
+            return empty
+        return pd.DataFrame({
+            "vec_a": a,
+            "vec_b": np.concatenate(out_b),
+            # Python round (correctly rounded) — np.round can land one ulp
+            # off DuckDB's round and break value-hash compares
+            "cos_sim": [round(float(v), round_to) for v in np.concatenate(out_s)],
+        })
 
     from deezymatch_ray.stages.ranking import bucketize
 
-    return bucketize(keyed, ["bkey"], num_partitions).groupby(
+    per_bucket = bucketize(keyed, ["bkey"], num_partitions).groupby(
         "__bucket"
     ).map_groups(
         lambda df: verify(df.drop(columns=["__bucket"])),
         batch_format="pandas",
+    )
+    # global pair dedup: sims are identical across a pair's shared
+    # buckets, so min == the value; the shuffle is over surviving pairs
+    # only (ownership is no longer tied to buckets, so an unverified
+    # bucket can never suppress a pair another bucket found)
+    return per_bucket.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("cos_sim", alias_name="cos_sim")
     )
 
 

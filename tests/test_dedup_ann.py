@@ -181,7 +181,55 @@ def test_embedding_near_dup_lsh_scale_path(docs_ds, con):
     assert len(e & a) / len(e) >= 0.95
     merged = approx.merge(exact, on=["vec_a", "vec_b"], suffixes=("_l", "_e"))
     assert (merged.cos_sim_l == merged.cos_sim_e).all()
-    assert not approx.duplicated(subset=["vec_a", "vec_b"]).any()  # min-bucket ownership
+    assert not approx.duplicated(subset=["vec_a", "vec_b"]).any()  # global pair dedup
+
+
+def test_embedding_near_dup_lsh_oversized_buckets_not_skipped():
+    """Round-3 regression (ADVICE high): buckets past max_block must be
+    verified in bounded tiles, not silently dropped — a tiny max_block
+    (every bucket oversized) must yield the identical pair set, with the
+    skew surfaced via stats_out."""
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    base = dedup.embedding_near_dup_lsh(ds, threshold=0.4).to_pandas()
+    stats: dict = {}
+    tiny = dedup.embedding_near_dup_lsh(
+        ds, threshold=0.4, max_block=2, n_bits=5, n_tables=48,
+        stats_out=stats,
+    ).to_pandas()
+    key = ["vec_a", "vec_b"]
+    assert (set(zip(tiny.vec_a, tiny.vec_b))
+            == set(zip(base.vec_a, base.vec_b)))
+    m = base.sort_values(key).reset_index(drop=True)
+    t = tiny.sort_values(key).reset_index(drop=True)
+    assert (m["cos_sim"] == t["cos_sim"]).all()
+    assert stats["oversized_buckets"] > 0
+    assert stats["n_buckets"] >= stats["oversized_buckets"]
+    assert stats["n_bits"] == 5 and stats["n_tables"] == 48
+
+
+def test_embedding_near_dup_lsh_auto_params_scale_with_corpus():
+    """n_bits=None sizes buckets from the corpus count; n_tables grows
+    to preserve the (5, 48) operating point's recall bound."""
+    import math
+
+    from deezymatch_ray.stages.dedup import embedding_near_dup_lsh  # noqa: F401
+
+    # small corpus → the floor (identical to the documented defaults)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    stats: dict = {}
+    embedding_near_dup_lsh(ds, threshold=0.4, stats_out=stats).to_pandas()
+    assert stats["n_bits"] == 5 and stats["n_tables"] == 48
+    # the sizing formula itself at a 2M-row corpus: buckets stay bounded
+    n, max_block = 2_000_000, 20_000
+    n_bits = max(5, math.ceil(math.log2(4 * n / max_block)))
+    assert n / 2 ** n_bits <= max_block / 4
+    p = 1.0 - math.acos(0.4) / math.pi
+    target = 1 - (1 - p ** 5) ** 48
+    n_tables = max(48, math.ceil(math.log(1 - target) / math.log(1 - p ** n_bits) - 1e-9))
+    # recall bound at the auto point ≥ the documented (5, 48) bound
+    assert 1 - (1 - p ** n_bits) ** n_tables >= target - 1e-9
 
 
 def test_ann_topk_matches_sql(con):
