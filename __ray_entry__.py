@@ -207,8 +207,37 @@ def _rolling_fp_sql(k: int = 8, w: int = 4) -> str:
     )
 
 
+def _link_clusters_sql() -> str:
+    """DuckDB oracle for the near-dup clustering flagship: exact
+    word-3-gram Jaccard ≥ 0.5 edges (same predicate as the
+    jaccard_near_dup oracle, over the span docs' join_text — which is
+    exactly documents.text, sources/spans.py:72-104 wraps each doc in
+    one text span) + WITH RECURSIVE reachability closure; cluster_id =
+    lexicographic min id in the component (the union-find semantics,
+    stages/clustering.py:35-68). The pipeline's MinHash-LSH candidate
+    stage is probabilistic in general, but at the driver's sf the
+    seeded banding recovers every ≥0.5-Jaccard pair, so the clusters
+    are value-exact."""
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT 'd-' || CAST(doc_id AS VARCHAR) AS id, text FROM documents), "
+        "w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS words FROM d), "
+        "s AS (SELECT id, list_distinct(list_transform("
+        "generate_series(1, greatest(len(words) - 2, 0)), "
+        "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w), "
+        "e AS (SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id <> b.id "
+        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5), "
+        "reach(a, b) AS (SELECT id, id FROM d "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b) "
+        "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "link_clusters": _link_clusters_sql(),
         "lang_id": _lang_id_sql(),
         "rolling_fingerprints": _rolling_fp_sql(),
         "normalize": (

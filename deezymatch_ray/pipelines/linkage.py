@@ -204,7 +204,11 @@ def cluster_near_dup_documents(
     is the standard LSH band bound (≥ 1-(1-t^r)^b; ~0.9997 at t=0.5,
     r=4, b=16).
     """
-    from deezymatch_ray.stages.dedup import minhash_lsh_near_dup, word_shingles
+    from deezymatch_ray.stages.dedup import (
+        _pack16,
+        _shingle_hashes,
+        minhash_lsh_near_dup,
+    )
 
     cand = minhash_lsh_near_dup(
         docs, text_col=text_col, id_col=id_col, n=shingle_n, k=minhash_k,
@@ -212,17 +216,40 @@ def cluster_near_dup_documents(
     ).materialize()
     n_cand = cand.count()
 
-    def _exact_ok(ta, tb):
-        sa = set(word_shingles(ta or "", shingle_n))
-        sb = set(word_shingles(tb or "", shingle_n))
-        if not sa or not sb:
-            return False
-        inter = len(sa & sb)
-        return inter / (len(sa) + len(sb) - inter) >= jaccard_threshold
+    # Each doc is shingled+hashed ONCE (round-3 fix: the old verify
+    # re-built set(word_shingles(text)) for both docs of EVERY candidate
+    # pair — a doc in p pairs was re-shingled p times, O(pairs×doc_len)
+    # Python in the flagship's verify stage). Verification intersects
+    # the precomputed sorted 128-bit hash arrays with searchsorted;
+    # hash-identity stands in for shingle identity (see _shingle_hashes).
+    def hash_docs(batch: pa.Table) -> pa.Table:
+        hs = _shingle_hashes(batch[text_col].to_pylist(), shingle_n)
+        return pa.table({
+            id_col: batch[id_col],
+            "sh_blob": pa.array([_pack16(h) for h in hs], type=pa.binary()),
+        })
+
+    def _inter_count(a: np.ndarray, b: np.ndarray) -> int:
+        if a.size == 0 or b.size == 0:
+            return 0
+        idx = np.minimum(np.searchsorted(a, b), a.size - 1)
+        return int(np.count_nonzero(a[idx] == b))
+
+    def _blob_pairs_ok(a_blobs: list, b_blobs: list) -> list[int]:
+        keep = []
+        for i in range(len(a_blobs)):
+            sa = np.frombuffer(a_blobs[i] or b"", dtype="S16")
+            sb = np.frombuffer(b_blobs[i] or b"", dtype="S16")
+            inter = _inter_count(sa, sb)
+            denom = sa.size + sb.size - inter
+            if denom > 0 and inter / denom >= jaccard_threshold:
+                keep.append(i)
+        return keep
 
     if n_cand <= 500_000:
-        # small candidate set: broadcast the involved texts instead of two
-        # hash joins (join actor spin-up dwarfs the work at this size)
+        # small candidate set: broadcast the involved docs' shingle-hash
+        # arrays instead of two hash joins (join actor spin-up dwarfs
+        # the work at this size)
         involved = set()
         for r in cand.iter_rows():
             involved.add(r["doc_a"])
@@ -232,50 +259,54 @@ def cluster_near_dup_documents(
         def pick(batch: pa.Table) -> pa.Table:
             inv = ray.get(inv_ref)
             mask = pa.array([v in inv for v in batch[id_col].to_pylist()])
-            return batch.select([id_col, text_col]).filter(mask)
+            return hash_docs(batch.select([id_col, text_col]).filter(mask))
 
-        tmap: dict = {}
+        hmap: dict = {}
         for b in docs.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-            tmap.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
-        tmap_ref = ray.put(tmap)
+            hmap.update(zip(
+                b[id_col].to_pylist(),
+                (np.frombuffer(x or b"", dtype="S16") for x in b["sh_blob"].to_pylist()),
+            ))
+        hmap_ref = ray.put(hmap)
 
         def verify_bc(batch: pa.Table) -> pa.Table:
-            tm = ray.get(tmap_ref)
+            hm = ray.get(hmap_ref)
             a_ids = batch["doc_a"].to_pylist()
             b_ids = batch["doc_b"].to_pylist()
-            keep = [i for i in range(len(a_ids))
-                    if _exact_ok(tm.get(a_ids[i]), tm.get(b_ids[i]))]
-            sel = pa.array(keep, type=pa.int64())
-            t = batch.take(sel)
+            empty = np.array([], dtype="S16")
+            keep = []
+            for i in range(len(a_ids)):
+                sa = hm.get(a_ids[i], empty)
+                sb = hm.get(b_ids[i], empty)
+                inter = _inter_count(sa, sb)
+                denom = sa.size + sb.size - inter
+                if denom > 0 and inter / denom >= jaccard_threshold:
+                    keep.append(i)
+            t = batch.take(pa.array(keep, type=pa.int64()))
             return pa.table({"src": t["doc_a"], "dst": t["doc_b"]})
 
         edges = cand.map_batches(verify_bc, batch_format="pyarrow").materialize()
     else:
-        # large candidate set: hash-join texts back by id (the scale path)
-        texts = docs.select_columns([id_col, text_col]).materialize()
-        j1 = cand.join(texts, join_type="inner", num_partitions=16,
+        # large candidate set: hash-join the (much smaller than text)
+        # shingle-hash blobs back by id — the scale path
+        hashed = docs.map_batches(hash_docs, batch_format="pyarrow").materialize()
+        j1 = cand.join(hashed, join_type="inner", num_partitions=16,
                        on=("doc_a",), right_on=(id_col,))
         # explicit projection between joins: leftover right-side columns
         # make the second join's key reference ambiguous
         j1 = j1.map_batches(
             lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
-                                "text_a": b[text_col]}),
+                                "blob_a": b["sh_blob"]}),
             batch_format="pyarrow",
         )
-        j2 = j1.join(texts, join_type="inner", num_partitions=16,
+        j2 = j1.join(hashed, join_type="inner", num_partitions=16,
                      on=("doc_b",), right_on=(id_col,))
 
         def verify(batch: pa.Table) -> pa.Table:
-            ta = batch["text_a"].to_pylist()
-            tb = batch[text_col].to_pylist()
-            a_ids = batch["doc_a"].to_pylist()
-            b_ids = batch["doc_b"].to_pylist()
-            src, dst = [], []
-            for i in range(len(ta)):
-                if _exact_ok(ta[i], tb[i]):
-                    src.append(a_ids[i])
-                    dst.append(b_ids[i])
-            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+            keep = _blob_pairs_ok(batch["blob_a"].to_pylist(),
+                                  batch["sh_blob"].to_pylist())
+            t = batch.take(pa.array(keep, type=pa.int64()))
+            return pa.table({"src": t["doc_a"], "dst": t["doc_b"]})
 
         edges = j2.map_batches(verify, batch_format="pyarrow").materialize()
     nodes = docs.select_columns([id_col])
