@@ -184,19 +184,31 @@ def finetune(
                  layers_to_freeze=layers_to_freeze, log=log)
 
 
+_ORDERED_LOCK = __import__("threading").Lock()
+
+
 def _materialize_ordered(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Execute ``ds`` with preserve_order=True and return the
     materialized result (for "first N rows" semantics — the flag is
-    restored afterwards so other pipelines keep the faster default)."""
+    restored afterwards so other pipelines keep the faster default).
+
+    The flag lives on the process-global DataContext, so the
+    set → materialize → restore sequence holds a lock: a concurrent
+    pipeline (e.g. checkpoint.run_stage's thread pool) could otherwise
+    interleave a restore between our set and materialize and this
+    trim would silently execute as an arbitrary-subset "first N". A
+    non-ordered materialization that merely observes the flag as True
+    meanwhile only loses a little speed, never correctness."""
     from ray.data import DataContext
 
-    opts = DataContext.get_current().execution_options
-    prev = opts.preserve_order
-    opts.preserve_order = True
-    try:
-        return ds.materialize()
-    finally:
-        opts.preserve_order = prev
+    with _ORDERED_LOCK:
+        opts = DataContext.get_current().execution_options
+        prev = opts.preserve_order
+        opts.preserve_order = True
+        try:
+            return ds.materialize()
+        finally:
+            opts.preserve_order = prev
 
 
 def inference(

@@ -112,6 +112,12 @@ class RankingConfig:
     length_diff: int | None = None
     calc_predict: bool = False
     calc_cosine: bool = False
+    # Pair-dedup key for the final selection. "candidate_id" (default)
+    # keeps one row per (query_id, candidate_id); "candidate_string" is
+    # the reference-parity mode that ALSO collapses duplicate candidate
+    # SPELLINGS to the lowest-metric row (candidateRanker.py:483-492
+    # dedups on s2_orig, so two ids sharing one name yield one row).
+    dedup_on: str = "candidate_id"  # candidate_id | candidate_string
 
 
 @dataclass(frozen=True)

@@ -232,37 +232,58 @@ def lsh_topk(
 
     q = query_mat.astype(np.float64)
     qsig = signatures(q)  # [Q, n_tables]
-    bucket_queries: dict[tuple[int, int], list[int]] = {}
-    for qi in range(len(query_ids)):
-        for t in range(n_tables):
-            bucket_queries.setdefault((t, int(qsig[qi, t])), []).append(qi)
-    payload = ray.put((query_ids, q, np.linalg.norm(q, axis=1), bucket_queries))
+    # per-table sorted query buckets: collision matching in the workers
+    # is then two searchsorted calls + index arithmetic per table — no
+    # per-candidate Python loop (round-3 fix: the dict/set walk was
+    # O(B × n_tables) Python per batch)
+    qs_sorted = [np.sort(qsig[:, t]) for t in range(n_tables)]
+    qorder = [np.argsort(qsig[:, t], kind="stable") for t in range(n_tables)]
+    payload = ray.put((query_ids, q, np.linalg.norm(q, axis=1), qs_sorted, qorder))
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        q_ids, qm, qnorm, bq = ray.get(payload)
+        q_ids, qm, qnorm, qss, qoo = ray.get(payload)
         c_ids = np.asarray(batch[id_col].to_pylist())
         out_q, out_c, out_s = [], [], []
         if len(c_ids):
             c = _to_matrix(batch[vec_col])
             csig = signatures(c)  # [B, n_tables]
             cn = np.linalg.norm(c, axis=1)
-            # per query: union of colliding candidates across tables
-            probe: dict[int, set[int]] = {}
+            B = len(c_ids)
+            pair_keys = []
             for t in range(n_tables):
-                col = csig[:, t]
-                for ci in range(len(c_ids)):
-                    qidxs = bq.get((t, int(col[ci])))
-                    if qidxs:
-                        for qi in qidxs:
-                            probe.setdefault(qi, set()).add(ci)
-            for qi, cset in probe.items():
-                sel = np.fromiter(cset, dtype=np.int64)
-                sims = (c[sel] @ qm[qi]) / np.maximum(cn[sel] * qnorm[qi], 1e-12)
-                nk = min(k, len(sel))
-                loc = np.lexsort((c_ids[sel], -sims))[:nk]
-                out_q.append(np.full(nk, q_ids[qi]))
-                out_c.append(c_ids[sel[loc]])
-                out_s.append(sims[loc])
+                qs, qo = qss[t], qoo[t]
+                cb = csig[:, t]
+                lo = np.searchsorted(qs, cb, side="left")
+                hi = np.searchsorted(qs, cb, side="right")
+                counts = hi - lo
+                total = int(counts.sum())
+                if total == 0:
+                    continue
+                # expand each candidate's [lo, hi) query-run into flat
+                # (query, candidate) pairs, all index arithmetic
+                ci_rep = np.repeat(np.arange(B), counts)
+                starts = np.repeat(lo, counts)
+                offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+                qi_rep = qo[starts + offs]
+                pair_keys.append(qi_rep.astype(np.int64) * B + ci_rep)
+            if pair_keys:
+                # unique = dedup across tables, sorted query-major
+                keys = np.unique(np.concatenate(pair_keys))
+                qi_all = keys // B
+                ci_all = keys % B
+                runs = np.flatnonzero(
+                    np.concatenate([[True], qi_all[1:] != qi_all[:-1]])
+                )
+                bounds = np.append(runs, len(keys))
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    qi = int(qi_all[s])
+                    sel = ci_all[s:e]
+                    sims = (c[sel] @ qm[qi]) / np.maximum(cn[sel] * qnorm[qi], 1e-12)
+                    nk = min(k, len(sel))
+                    loc = np.lexsort((c_ids[sel], -sims))[:nk]
+                    out_q.append(np.full(nk, q_ids[qi]))
+                    out_c.append(c_ids[sel[loc]])
+                    out_s.append(sims[loc])
         if not out_q:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "candidate_id": pa.array([], type=pa.int64()),

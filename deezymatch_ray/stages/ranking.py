@@ -313,6 +313,11 @@ def select_bucket(df: pd.DataFrame, *, cfg: EngineConfig) -> pd.DataFrame:
     g = df.sort_values(["query_id", mcol, "candidate_id"],
                        ascending=[True, asc, True], kind="stable")
     g = g.drop_duplicates(subset=["query_id", "candidate_id"], keep="first")
+    if getattr(r, "dedup_on", "candidate_id") == "candidate_string":
+        # reference parity (candidateRanker.py:483-492): duplicate
+        # candidate SPELLINGS collapse to the lowest-(metric, id) row —
+        # the sort above already orders exactly that way per query
+        g = g.drop_duplicates(subset=["query_id", "candidate"], keep="first")
     if r.ranking_metric == "conf":
         g = g[g["pred_score"] >= r.selection_threshold]
     else:
@@ -556,7 +561,11 @@ class _KeyAndCarry:
         keys = self.derive(batch)  # (id, block_key) distinct
         # gather keys back to this batch's rows with an Arrow kernel (the
         # round-1 Python dict + per-row comprehension was the last row
-        # loop in the hot blocking path)
+        # loop in the hot blocking path). index_in resolves a duplicated
+        # id to its FIRST row in the batch — prepare_side emits one row
+        # per input row, so duplicate ids (duplicate input rows) carry
+        # identical payloads here and first-occurrence is exact; an input
+        # with the SAME id on DIFFERENT payloads is out of contract.
         take = pc.index_in(keys["id"], value_set=batch["id"].combine_chunks())
         carried = batch.take(take)
         return carried.append_column("block_key", keys["block_key"])
@@ -570,13 +579,31 @@ def rank_global(
     vocab_ref,
     meta: dict,
     query_id="id", query_text="name", cand_id="id", cand_text="name",
+    broadcast_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
-    """Global exact ranking: broadcast candidates once, stream queries."""
+    """Global exact ranking: broadcast candidates once, stream queries.
+
+    Refuses LOUDLY past ``broadcast_limit`` candidate rows — the
+    driver-side concat + broadcast would OOM long before producing
+    wrong results; ``rank_blocked`` is the no-broadcast scale path."""
     c = prepare_side(candidates, cfg, weights_ref, vocab_ref, meta, cand_id, cand_text)
     # global mode materializes the candidate payload ONCE on the driver and
     # broadcasts it (ray.put) — valid while candidates fit in the object
     # store; beyond that use rank_blocked
-    ctab = pa.concat_tables(c.iter_batches(batch_format="pyarrow"))
+    batches = []
+    n_rows = 0
+    for b in c.iter_batches(batch_format="pyarrow"):
+        n_rows += b.num_rows
+        if n_rows > broadcast_limit:
+            # abort DURING the single driver pass, before the concat +
+            # broadcast can OOM (no extra pipeline consumption for the check)
+            raise ValueError(
+                f"rank_global materializes every candidate on the driver "
+                f"and broadcasts them (>{broadcast_limit} rows seen); use "
+                "rank_blocked for candidate sets past the object-store bound"
+            )
+        batches.append(b)
+    ctab = pa.concat_tables(batches)
     cand_emb = emb_matrix(ctab["emb"])
     valid = np.asarray(ctab["emb_valid"].to_pylist())
     cand_emb = cand_emb[valid]

@@ -263,6 +263,11 @@ def run_stage(
         if rows_out:
             for attempt in range(3):
                 try:
+                    if os.path.isdir(pdir):
+                        # an ImportError surfacing AFTER a partial write
+                        # would otherwise leave part files that the next
+                        # attempt appends to → duplicated rows
+                        shutil.rmtree(pdir)
                     out_m.write_parquet(pdir)
                     break
                 except ImportError:

@@ -263,3 +263,53 @@ def test_salted_tiles_survive_group_imbalance():
     got = blocked_pairs(keyed, cfg, self_join=True).to_pandas()
     assert len(got) == n * (n - 1) // 2
     assert not got.duplicated(subset=["query_id", "candidate_id"]).any()
+
+
+def test_rank_global_broadcast_gate_raises(model_dir, qc_tables):
+    """rank_global materializes + broadcasts the candidate payload;
+    past broadcast_limit it must abort loudly and point at
+    rank_blocked, not OOM the driver (round-3 VERDICT #6)."""
+    queries, cands = qc_tables
+    cfg, meta = _cfg(model_dir)
+    weights_ref, vocab_ref, _, _ = load_model_artifacts(model_dir)
+    with pytest.raises(ValueError, match="rank_blocked"):
+        rank_global(_to_ds(queries), _to_ds(cands), cfg,
+                    weights_ref, vocab_ref, meta, broadcast_limit=10)
+
+
+def test_candidate_string_dedup_parity_mode(model_dir):
+    """dedup_on='candidate_string' (reference parity,
+    candidateRanker.py:483-492): duplicate candidate SPELLINGS under
+    different ids collapse to the lowest-(metric, id) row; the default
+    mode keeps one row per (query_id, candidate_id)."""
+    queries = [("q-000", "alpha town"), ("q-001", "beta city")]
+    # two ids share the spelling "alpha town"; a third is distinct
+    cands = [("c-000", "alpha town"), ("c-001", "alpha town"),
+             ("c-002", "alpha towne"), ("c-003", "beta city")]
+    cfg, meta = _cfg(model_dir, selection_threshold=1e9, num_candidates=100)
+    got_default = _run(rank_global, queries, cands, cfg, model_dir, meta)
+    cfg_s = cfg.replace(
+        ranking=dataclasses.replace(cfg.ranking, dedup_on="candidate_string"))
+    got_parity = _run(rank_global, queries, cands, cfg_s, model_dir, meta)
+    # default: every (query, candidate_id) pair survives
+    assert len(got_default) == len(queries) * len(cands)
+    # parity expectation derived from the default output: per query,
+    # keep the first row per spelling under the (metric, id) order,
+    # then re-rank contiguously
+    exp = (
+        got_default.sort_values(["query_id", "faiss_dist", "candidate_id"],
+                                kind="stable")
+        .drop_duplicates(subset=["query_id", "candidate"], keep="first")
+        .reset_index(drop=True)
+    )
+    exp["rank"] = exp.groupby("query_id", sort=False).cumcount() + 1
+    exp = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_parity[["query_id", "candidate_id", "candidate", "rank"]],
+        exp[["query_id", "candidate_id", "candidate", "rank"]].astype(
+            got_parity[["query_id", "candidate_id", "candidate", "rank"]].dtypes
+        ),
+    )
+    # both ids spelled "alpha town" never co-survive in parity mode
+    per_q = got_parity.groupby("query_id")["candidate"].nunique()
+    assert (got_parity.groupby("query_id").size() == per_q).all()
