@@ -26,6 +26,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAIRS_N = int(os.environ.get("GRAFT_BENCH_PAIRS", "960000"))
 LINK_DOCS_N = int(os.environ.get("GRAFT_BENCH_LINK_DOCS", "4000"))
+# scorer map_batches batch size: ~256 keeps the per-leg input-gate
+# tensor (B·T·3H floats) inside cache — measured faster than 512+ both
+# single-core and under full parallelism (see BASELINE.md round 3)
+SCORE_BS = int(os.environ.get("GRAFT_SCORE_BS", "256"))
 
 
 def _init_ray():
@@ -80,29 +84,49 @@ def bench_pair_scoring() -> dict:
     from deezymatch_ray.stages.scoring import CachedStage
 
     path = _pairs_parquet(PAIRS_N)
-    # ~8 tasks per CPU: a task's whole output block must finish before
+    # tasks per CPU: a task's whole output block must finish before
     # iteration can consume it, so block size bounds first-output latency
+    # AND end-of-wave straggler waste (measured task skew is ~2.5x)
+    # measured on this box: 8 beats 16/24 (per-task fixed costs dominate
+    # the straggler savings)
+    blocks_per_cpu = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "8"))
     ds = ray.data.read_parquet(
-        path, columns=["s1", "s2"], override_num_blocks=NUM_CPUS * 8
+        path, columns=["s1", "s2"], override_num_blocks=NUM_CPUS * blocks_per_cpu
     )
     # task pool with a per-worker-process stage cache instead of an
     # actor pool: an actor pool forks NUM_CPUS fresh processes at every
     # pipeline start (~25 s at 32 CPUs), a fixed per-run cost a
     # long-lived cluster never pays per job, which understated on-box
     # scaling. Tasks run on Ray's pre-started warm workers.
-    stage = CachedStage.of(
-        PairScorer,
+    # GRAFT_SCORER_POOL=actor switches to the actor-pool variant for
+    # A/B measurement (see BASELINE.md round 3).
+    kwargs = dict(
         weights_ref=weights_ref, vocab_ref=vocab_ref, meta=meta,
         s1_col="s1", s2_col="s2", with_classical=True,
         preprocessing=cfg.preprocessing, tokenization=cfg.tokenization,
     )
-    scorer_kwargs = dict(batch_format="pyarrow", batch_size=512)
+    if os.environ.get("GRAFT_SCORER_POOL", "task") == "actor":
+        stage = PairScorer
+        scorer_kwargs = dict(
+            batch_format="pyarrow", batch_size=SCORE_BS,
+            fn_constructor_kwargs=kwargs, concurrency=(1, NUM_CPUS - 2),
+        )
+        warm_kwargs = dict(scorer_kwargs, batch_size=64)
+    else:
+        stage = CachedStage.of(PairScorer, **kwargs)
+        scorer_kwargs = dict(batch_format="pyarrow", batch_size=SCORE_BS)
+        # optional task-concurrency cap (GRAFT_SCORE_HEADROOM=k leaves k
+        # CPUs for driver/raylet — A/B surface for the scaling bench)
+        headroom = int(os.environ.get("GRAFT_SCORE_HEADROOM", "0"))
+        if headroom > 0 and NUM_CPUS - headroom >= 2:
+            scorer_kwargs["concurrency"] = NUM_CPUS - headroom
+        warm_kwargs = dict(batch_format="pyarrow", batch_size=64)
     # warm-up: fork+import Ray's worker pool once on a tiny slice so the
     # timed window measures the pipeline, not interpreter startup. The
     # repartition defeats limit pushdown (1 block → 1 task → 1 warm
     # worker); NUM_CPUS blocks fork the whole pool.
     (ds.limit(NUM_CPUS * 64).repartition(NUM_CPUS)
-       .map_batches(stage, batch_format="pyarrow", batch_size=64).count())
+       .map_batches(stage, **warm_kwargs).count())
     t0 = time.time()
     scored = ds.map_batches(stage, **scorer_kwargs)
     # steady-state throughput: clock from the 25%-of-rows mark, so the
