@@ -123,6 +123,25 @@ def band_keys(sigs: np.ndarray, n_bands: int) -> list[list[str]]:
     ]
 
 
+def band_keys_int(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """[N, n_bands] int64 LSH band keys (uint64 bitcast): FNV digest of
+    the band's signature rows folded with the band index via wraparound
+    ``digest * n_bands + bidx``. Two docs share a key iff the whole band
+    agrees (up to the same negligible 64-bit digest-collision class as
+    the string variant); ``bidx = key % n_bands`` recovers the band. An
+    int64 key shuffles ~3× fewer bytes than the old "bidx:hex" string
+    and skips 16 f-string formats per row."""
+    n, k = sigs.shape
+    rows = k // n_bands
+    segs = sigs[:, : n_bands * rows].reshape(n, n_bands, rows)
+    acc = np.full((n, n_bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc = (acc ^ segs[:, :, r]) * np.uint64(0x100000001B3)
+        keys = acc * np.uint64(n_bands) + np.arange(n_bands, dtype=np.uint64)[None, :]
+    return keys.view(np.int64)
+
+
 def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
     """[N] uint64 SimHash fingerprints (bitwise majority of token-hash
     bits). Vectorized across the flattened token axis."""

@@ -36,7 +36,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from deezymatch_ray.functions.dedup import (
-    band_keys,
+    band_keys_int,
     hamming64,
     minhash_signatures,
     simhash64_batch,
@@ -405,7 +405,7 @@ def jaccard_near_dup(
 
 class _MinHashStage:
     """map_batches stage: (id, text) → (id, sig fixed_size_list<uint64
-    as int64-bitcast>, band_key exploded rows). Runs as a stateless TASK
+    as int64-bitcast>, int64 band_key exploded rows). Runs as a stateless TASK
     pool (an instance is passed, not the class): the only per-call state
     (the k permutation params) costs microseconds to build, and a task
     pool reuses already-warm workers instead of paying actor spin-up —
@@ -416,25 +416,21 @@ class _MinHashStage:
         self.n, self.k, self.n_bands, self.seed = n, k, n_bands, seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col]
         texts = batch[self.text_col].to_pylist()
+        n = len(texts)
         shingles = [word_shingles(t or "", self.n) for t in texts]
         sigs = minhash_signatures(shingles, k=self.k, seed=self.seed)
-        keys = band_keys(sigs, self.n_bands)
-        out_key, out_id, out_sig = [], [], []
-        for i in range(len(ids)):
-            for bk in keys[i]:
-                out_key.append(bk)
-                out_id.append(ids[i])
-                out_sig.append(sigs[i].view(np.int64))
-        sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(out_sig) if out_sig else np.array([], dtype=np.int64)),
-            self.k,
-        )
+        keys = band_keys_int(sigs, self.n_bands)  # [N, n_bands] int64
+        # explode fully vectorized: np.repeat on the signature matrix +
+        # one Arrow take (the per-row/per-band Python append loop was
+        # ~40% of this stage's profile)
+        rep = np.repeat(np.arange(n), self.n_bands)
+        sig_flat = np.repeat(sigs.view(np.int64), self.n_bands, axis=0).reshape(-1)
         return pa.table({
-            "band_key": pa.array(out_key, type=pa.string()),
-            "id": pa.array(out_id),
-            "sig": sig_col,
+            "band_key": pa.array(keys.reshape(-1)),
+            "id": ids.take(pa.array(rep)),
+            "sig": pa.FixedSizeListArray.from_arrays(pa.array(sig_flat), self.k),
         })
 
 
@@ -470,7 +466,7 @@ def minhash_lsh_near_dup(
         m = len(group)
         if m < 2 or m > max_block:
             return empty
-        bidx = int(group["band_key"].iloc[0].split(":", 1)[0])
+        bidx = (int(group["band_key"].iloc[0]) & ((1 << 64) - 1)) % n_bands
         order = np.argsort(group["id"].to_numpy(), kind="stable")
         ids = group["id"].to_numpy()[order]
         sigs = np.stack(group["sig"].to_numpy()[order]).view(np.uint64)
@@ -530,19 +526,22 @@ def simhash_near_dup(
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_pylist()
-        sigs = simhash64_batch([words(t or "") for t in texts])
-        out_key, out_id, out_sig = [], [], []
-        for i, s in enumerate(sigs):
-            for seg in range(n_seg):
-                part = (int(s) >> (seg * seg_bits)) & ((1 << seg_bits) - 1)
-                out_key.append(f"{seg}:{part:x}")
-                out_id.append(ids[i])
-                out_sig.append(np.int64(np.uint64(s).view(np.int64)))
+        n = len(texts)
+        sigs = simhash64_batch([words(t or "") for t in texts])  # [N] uint64
+        # vectorized: int64 seg keys (part folded with the segment index
+        # via wraparound part*n_seg+seg; seg = key % n_seg recovers it —
+        # exact: parts are < 2^seg_bits so the fold only wraps when
+        # n_seg == 1, where key == part)
+        segs = np.arange(n_seg, dtype=np.uint64)
+        mask = np.uint64((1 << seg_bits) - 1)
+        parts = (sigs[:, None] >> (segs * np.uint64(seg_bits))) & mask
+        with np.errstate(over="ignore"):
+            keys = parts * np.uint64(n_seg) + segs[None, :]
+        rep = np.repeat(np.arange(n), n_seg)
         return pa.table({
-            "seg_key": pa.array(out_key, type=pa.string()),
-            "id": pa.array(out_id),
-            "sig": pa.array(np.array(out_sig, dtype=np.int64)),
+            "seg_key": pa.array(keys.reshape(-1).view(np.int64)),
+            "id": batch[id_col].take(pa.array(rep)),
+            "sig": pa.array(np.repeat(sigs.view(np.int64), n_seg)),
         })
 
     def block(group: pd.DataFrame) -> pd.DataFrame:
@@ -553,7 +552,7 @@ def simhash_near_dup(
         m = len(group)
         if m < 2 or m > max_block:
             return empty
-        seg_idx = int(group["seg_key"].iloc[0].split(":", 1)[0])
+        seg_idx = (int(group["seg_key"].iloc[0]) & ((1 << 64) - 1)) % n_seg
         order = np.argsort(group["id"].to_numpy(), kind="stable")
         ids = group["id"].to_numpy()[order]
         sigs = group["sig"].to_numpy()[order].view(np.uint64)
