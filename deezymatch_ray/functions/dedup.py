@@ -103,26 +103,6 @@ def minhash_signatures(shingle_lists: list[list[str]], k: int = 64, seed: int = 
     return minhash_signatures_flat(flat, offsets, k=k, seed=seed)
 
 
-def band_keys(sigs: np.ndarray, n_bands: int) -> list[list[str]]:
-    """LSH band keys per row of an [N, k] signature matrix: band index +
-    digest of the band's rows. Two docs share a key iff a whole band of
-    their signatures agrees."""
-    n, k = sigs.shape
-    rows = k // n_bands
-    segs = sigs[:, : n_bands * rows].reshape(n, n_bands, rows)
-    # vectorized FNV over the band's signature rows (whole-band equality
-    # ⟺ digest equality up to negligible 64-bit collisions, same as the
-    # previous per-band blake2b digest)
-    acc = np.full((n, n_bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for r in range(rows):
-            acc = (acc ^ segs[:, :, r]) * np.uint64(0x100000001B3)
-    return [
-        [f"{bidx}:{acc[i, bidx]:016x}" for bidx in range(n_bands)]
-        for i in range(n)
-    ]
-
-
 def band_keys_int(sigs: np.ndarray, n_bands: int) -> np.ndarray:
     """[N, n_bands] int64 LSH band keys (uint64 bitcast): FNV digest of
     the band's signature rows folded with the band index via wraparound

@@ -32,10 +32,13 @@ claims above are scoped by these):
 
 1. Candidate-string dedup: the reference dedups duplicate candidate
    *strings* (``s2_orig``, candidateRanker.py:483-492), so two distinct
-   candidate ids with the same name yield ONE row; we dedup on
-   (query_id, candidate_id) — duplicate-named candidates each keep a
-   row. Deterministic ids are the primary key of a distributed result;
-   collapsing by display string would make output depend on id order.
+   candidate ids with the same name yield ONE row; the DEFAULT here
+   dedups on (query_id, candidate_id) — duplicate-named candidates each
+   keep a row. Deterministic ids are the primary key of a distributed
+   result; collapsing by display string would make output depend on id
+   order. Opt-in reference parity: ``ranking.dedup_on =
+   "candidate_string"`` collapses spellings keep-lowest-(metric, id)
+   exactly like the reference (see ``select_bucket``).
 2. ``cosine``/``conf`` metrics: the reference walks faiss L2-ordered
    windows and breaks on a *cosine/conf* threshold (:406-476) — the
    break is non-monotone in the walk order, and ``conf`` stops once
