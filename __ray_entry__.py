@@ -127,7 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": A.q_events_rolling,
         "events_asof_purchase": A.q_events_asof_purchase,
         "nation_balance": A.q_nation_balance,
-        # multimodal plumbing (rows-only: codec is a sandbox stub)
+        # multimodal plumbing (features are a codec stub; ref expansion,
+        # store metadata and decode_ok are oracle-checked)
         "media_features": A.q_media_features,
         # model-based pipelines (rows-only checks)
         "rank_part_names": _q_rank_part_names,
@@ -235,9 +236,110 @@ def _link_clusters_sql() -> str:
     )
 
 
+_SIMHASH_VAL_CTE = (
+    # shared CTE suffix: per-doc 64-bit SimHash value as UBIGINT, exactly
+    # mirroring functions/dedup.simhash64_batch on the md5 basis: token
+    # hash = md5_number_lower, per-bit majority vote (+1/−1, bit set iff
+    # sum > 0). ``words("")`` is [""] and string_split_regex agrees.
+    "tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t "
+    "FROM documents), "
+    "hv AS (SELECT doc_id, CAST(md5_number_lower(t) AS UBIGINT) AS h FROM tok), "
+    "bits AS (SELECT doc_id, g.b AS b, "
+    "sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS score "
+    "FROM hv, (SELECT unnest(generate_series(0, 63)) AS b) g GROUP BY doc_id, g.b), "
+    "val AS (SELECT doc_id, CAST(sum(CASE WHEN score > 0 "
+    "THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS UBIGINT) AS sig "
+    "FROM bits GROUP BY doc_id)"
+)
+
+
+def _simhash_sql() -> str:
+    """DuckDB mirror of q_simhash (md5 hash basis): per-doc fingerprint
+    as a 16-char lowercase hex string."""
+    return (
+        f"WITH {_SIMHASH_VAL_CTE} "
+        "SELECT doc_id, lpad(lower(hex(sig)), 16, '0') AS simhash FROM val"
+    )
+
+
+def _simhash_near_dup_sql() -> str:
+    """DuckDB mirror of q_simhash_near_dup: all pairs with Hamming ≤ 3
+    between md5-basis SimHash fingerprints. The pipeline's (r+1)-segment
+    blocking is pigeonhole-complete, so the all-pairs SQL is an exact
+    oracle (not a recall-dependent one) at any scale below max_block."""
+    return (
+        f"WITH {_SIMHASH_VAL_CTE} "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming "
+        "FROM val a JOIN val b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
+    )
+
+
+def _minhash_near_dup_sql() -> str:
+    """DuckDB mirror of q_minhash_near_dup (md5 hash basis): recomputes
+    the k=64 MinHash signatures with the SAME permutation constants
+    (functions/dedup.minhash_params32, embedded as literals — generated
+    from the code, so they cannot drift), the per-pair signature-
+    agreement estimate, and the 16-band LSH candidate rule (a pair
+    surfaces iff ≥1 band of 4 signature rows agrees completely). Every
+    arithmetic step is exact in UBIGINT, so this is a bit-for-bit
+    oracle of the distributed banding plan, not an approximation."""
+    from deezymatch_ray.functions.dedup import minhash_params32
+
+    a, b = minhash_params32(64, seed=7)
+    perm_rows = ", ".join(
+        f"({p}, CAST({int(a[p])} AS UBIGINT), CAST({int(b[p])} AS UBIGINT))"
+        for p in range(64)
+    )
+    return (
+        "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words "
+        "FROM documents), "
+        "s AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, greatest(len(words) - 2, 0)), "
+        "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w), "
+        "g AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE len(sh) > 0), "
+        "h AS (SELECT doc_id, CAST(md5_number_lower(gram) AS UBIGINT) & 4294967295 "
+        "AS h32 FROM g), "
+        f"perm(p, a, b) AS (VALUES {perm_rows}), "
+        "sig AS (SELECT doc_id, p, min((a * h32 + b) % 4294967296) AS s "
+        "FROM h, perm GROUP BY doc_id, p), "
+        "pb AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.p // 4 AS band, "
+        "CASE WHEN x.s = y.s THEN 1 ELSE 0 END AS eq "
+        "FROM sig x JOIN sig y ON x.p = y.p AND x.doc_id < y.doc_id), "
+        "bands AS (SELECT doc_a, doc_b, band, sum(eq) AS beq "
+        "FROM pb GROUP BY 1, 2, 3), "
+        "agg AS (SELECT doc_a, doc_b, sum(beq) / 64.0 AS est, "
+        "max(CASE WHEN beq = 4 THEN 1 ELSE 0 END) AS hasband "
+        "FROM bands GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(est, 6) AS est_jaccard FROM agg "
+        "WHERE hasband = 1 AND est >= 0.5"
+    )
+
+
+def _media_features_sql() -> str:
+    """DuckDB mirror of q_media_features: media refs exist for every
+    doc_id % 3 == 0 (sources/spans.flat_docs_to_spans), the fake store's
+    mime derives from the first byte of sha256('<seed>:' || ref)
+    (stages/multimodal.make_media_table, seed=42), and decode_ok is true
+    whenever the payload is non-empty — which the store guarantees."""
+    return (
+        "WITH r AS (SELECT 'media://img/d-' || CAST(doc_id AS VARCHAR) || '-0' "
+        "AS media_ref FROM documents WHERE doc_id % 3 = 0) "
+        "SELECT media_ref, "
+        "CASE CAST(('0x' || substr(sha256('42:' || media_ref), 1, 2)) AS INT) % 3 "
+        "WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, "
+        "true AS decode_ok FROM r"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "link_clusters": _link_clusters_sql(),
+        "media_features": _media_features_sql(),
+        "simhash": _simhash_sql(),
+        "simhash_near_dup": _simhash_near_dup_sql(),
+        "minhash_near_dup": _minhash_near_dup_sql(),
         "lang_id": _lang_id_sql(),
         "rolling_fingerprints": _rolling_fp_sql(),
         "normalize": (
@@ -305,6 +407,21 @@ def oracle_sql() -> dict[str, str]:
         # provably returns the exact top-k, so the brute-force SQL is a
         # legitimate oracle for it (partial-probe recall is covered by
         # tests/test_dedup_ann.py::test_ivf_topk_recall_vs_exact)
+        # q_ann_lsh_topk is seeded and deterministic; at the driver's
+        # data its 32-table hyperplane-LSH candidate set provably
+        # contains every true top-5 neighbour (verified: output is
+        # row-identical to brute force at sf0.01), so the exact SQL is
+        # a valid oracle for the driver run. General-configuration
+        # recall is probabilistic and pytest-pinned instead
+        # (tests/test_dedup_ann.py LSH recall test).
+        "ann_lsh_topk": (
+            "SELECT query_id, candidate_id, \"rank\" FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, "
+            "CAST(row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) "
+            "AS BIGINT) AS \"rank\" "
+            "FROM embeddings q, embeddings c WHERE q.vec_id < 10) WHERE \"rank\" <= 5"
+        ),
         "ann_ivf_topk": (
             "SELECT query_id, candidate_id, \"rank\" FROM ("
             "SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, "

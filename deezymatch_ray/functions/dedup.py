@@ -49,18 +49,47 @@ def stable_hash64(token: str) -> int:
     return int(stable_hash64_batch([token])[0])
 
 
-def stable_hash64_batch(tokens: list[str]) -> np.ndarray:
-    """Vectorized stable 64-bit hashes: pandas' siphash with its fixed
-    default key (C loop — ~30× faster than per-token hashlib, equally
-    uniform; determinism across processes is what the dedup plans need,
-    not cryptographic strength)."""
-    import pandas as pd
+def stable_hash64_batch(tokens: list[str], basis: str = "siphash") -> np.ndarray:
+    """Vectorized stable 64-bit hashes.
 
+    ``basis="siphash"`` (default, production): pandas' siphash with its
+    fixed default key (C loop — ~30× faster than per-token hashlib,
+    equally uniform; determinism across processes is what the dedup
+    plans need, not cryptographic strength).
+
+    ``basis="md5"``: lower 64 bits of md5 — bit-identical to DuckDB's
+    ``md5_number_lower(token)``, which lets the driver's SQL oracles
+    mirror MinHash/SimHash signature computation exactly. Slower (per
+    unique token hashlib), so it is opt-in for oracle-checked queries;
+    it is also pandas-version-independent, unlike siphash."""
     if not tokens:
         return np.array([], dtype=np.uint64)
+    if basis == "md5":
+        return md5_lower64_batch(tokens)
+    import pandas as pd
+
     return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(
         np.uint64, copy=False
     )
+
+
+def md5_lower64_batch(tokens: list[str]) -> np.ndarray:
+    """Lower 64 bits of md5 (digest bytes 8..16, little-endian) — exactly
+    DuckDB 1.0's ``md5_number_lower``. Hashes each *unique* token once
+    (word/shingle batches repeat heavily), then scatters."""
+    import hashlib
+
+    arr = np.asarray(tokens, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    vals = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return vals[inv]
 
 
 def minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -74,13 +103,37 @@ def minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def minhash_params32(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """k (a, b) pairs for the md5-basis family h_i(x) = (a_i·x + b_i)
+    mod 2^32 over 32-bit inputs (a_i odd → injective on the domain).
+    Every term fits uint64 exactly, so a DuckDB oracle reproduces the
+    arithmetic with plain UBIGINT ops — the reason this family exists."""
+    rng = np.random.default_rng(seed)
+    m = np.uint64(0xFFFFFFFF)
+    a = (rng.integers(0, _U64_MAX, size=k, dtype=np.uint64) & m) | np.uint64(1)
+    b = rng.integers(0, _U64_MAX, size=k, dtype=np.uint64) & m
+    return a, b
+
+
 def minhash_signatures_flat(
-    flat_hashes: np.ndarray, offsets: np.ndarray, k: int = 64, seed: int = 7
+    flat_hashes: np.ndarray,
+    offsets: np.ndarray,
+    k: int = 64,
+    seed: int = 7,
+    basis: str = "siphash",
 ) -> np.ndarray:
     """[N, k] uint64 signatures for N docs whose shingle hashes are
     concatenated in ``flat_hashes`` with boundaries ``offsets`` (len N+1).
-    Empty docs get all-max signatures (match nothing)."""
-    a, b = minhash_params(k, seed)
+    Empty docs get all-max signatures. ``basis="md5"`` switches to the
+    SQL-mirrorable 32-bit family (see ``minhash_params32``); the input
+    hashes are masked to their low 32 bits to match."""
+    if basis == "md5":
+        a, b = minhash_params32(k, seed)
+        mask = np.uint64(0xFFFFFFFF)
+        flat_hashes = flat_hashes & mask
+    else:
+        a, b = minhash_params(k, seed)
+        mask = None
     n = len(offsets) - 1
     out = np.full((n, k), _U64_MAX, dtype=np.uint64)
     if len(flat_hashes) == 0:
@@ -91,16 +144,23 @@ def minhash_signatures_flat(
     with np.errstate(over="ignore"):
         for i in range(k):
             hv = flat_hashes * a[i] + b[i]  # uint64 wrap-around, vectorized
+            if mask is not None:
+                hv &= mask
             out[nonempty, i] = np.minimum.reduceat(hv, starts)
     return out
 
 
-def minhash_signatures(shingle_lists: list[list[str]], k: int = 64, seed: int = 7) -> np.ndarray:
+def minhash_signatures(
+    shingle_lists: list[list[str]], k: int = 64, seed: int = 7,
+    basis: str = "siphash",
+) -> np.ndarray:
     """[N, k] uint64 signatures for a batch of shingle lists."""
     offsets = np.zeros(len(shingle_lists) + 1, dtype=np.int64)
     np.cumsum([len(s) for s in shingle_lists], out=offsets[1:])
-    flat = stable_hash64_batch([t for sh in shingle_lists for t in sh])
-    return minhash_signatures_flat(flat, offsets, k=k, seed=seed)
+    flat = stable_hash64_batch(
+        [t for sh in shingle_lists for t in sh], basis=basis
+    )
+    return minhash_signatures_flat(flat, offsets, k=k, seed=seed, basis=basis)
 
 
 def band_keys_int(sigs: np.ndarray, n_bands: int) -> np.ndarray:
@@ -122,14 +182,18 @@ def band_keys_int(sigs: np.ndarray, n_bands: int) -> np.ndarray:
     return keys.view(np.int64)
 
 
-def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
+def simhash64_batch(
+    token_lists: list[list[str]], basis: str = "siphash"
+) -> np.ndarray:
     """[N] uint64 SimHash fingerprints (bitwise majority of token-hash
     bits). Vectorized across the flattened token axis."""
     n = len(token_lists)
     out = np.zeros(n, dtype=np.uint64)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(t) for t in token_lists], out=offsets[1:])
-    flat = stable_hash64_batch([t for toks in token_lists for t in toks])
+    flat = stable_hash64_batch(
+        [t for toks in token_lists for t in toks], basis=basis
+    )
     if len(flat) == 0:
         return out
     shifts = np.arange(64, dtype=np.uint64)

@@ -125,19 +125,25 @@ def q_jaccard_near_dup(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_minhash_near_dup(sf_dir: str) -> ray.data.Dataset:
+    """MinHash-LSH near-dup on the SQL-mirrorable md5 hash basis: the
+    DuckDB oracle recomputes signatures, est_jaccard and banding
+    bit-for-bit (production default stays the faster siphash basis)."""
     return dedup.minhash_lsh_near_dup(
         _read(sf_dir, "documents", ["doc_id", "text"]), n=3, k=64, n_bands=16,
-        threshold=0.5,
+        threshold=0.5, hash_basis="md5",
     )
 
 
 def q_simhash(sf_dir: str) -> ray.data.Dataset:
-    return dedup.simhash_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return dedup.simhash_fingerprints(
+        _read(sf_dir, "documents", ["doc_id", "text"]), hash_basis="md5"
+    )
 
 
 def q_simhash_near_dup(sf_dir: str) -> ray.data.Dataset:
     return dedup.simhash_near_dup(
-        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3,
+        hash_basis="md5",
     )
 
 

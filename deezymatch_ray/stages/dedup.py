@@ -411,16 +411,26 @@ class _MinHashStage:
     pool reuses already-warm workers instead of paying actor spin-up —
     which dominated this stage's wall time on short runs."""
 
-    def __init__(self, text_col: str, id_col: str, n: int, k: int, n_bands: int, seed: int):
+    def __init__(self, text_col: str, id_col: str, n: int, k: int, n_bands: int,
+                 seed: int, hash_basis: str = "siphash"):
         self.text_col, self.id_col = text_col, id_col
         self.n, self.k, self.n_bands, self.seed = n, k, n_bands, seed
+        self.hash_basis = hash_basis
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col]
         texts = batch[self.text_col].to_pylist()
-        n = len(texts)
         shingles = [word_shingles(t or "", self.n) for t in texts]
-        sigs = minhash_signatures(shingles, k=self.k, seed=self.seed)
+        # docs with zero shingles (< n words) emit no rows: their
+        # all-max sentinel signatures would otherwise band-match EACH
+        # OTHER and surface as est_jaccard=1.0 "near-dups"
+        nonempty = [i for i, s in enumerate(shingles) if s]
+        if len(nonempty) < len(shingles):
+            shingles = [shingles[i] for i in nonempty]
+            ids = ids.take(pa.array(nonempty, type=pa.int64()))
+        n = len(shingles)
+        sigs = minhash_signatures(shingles, k=self.k, seed=self.seed,
+                                  basis=self.hash_basis)
         keys = band_keys_int(sigs, self.n_bands)  # [N, n_bands] int64
         # explode fully vectorized: np.repeat on the signature matrix +
         # one Arrow take (the per-row/per-band Python append loop was
@@ -444,14 +454,19 @@ def minhash_lsh_near_dup(
     threshold: float = 0.5,
     seed: int = 7,
     max_block: int = 10_000,
+    hash_basis: str = "siphash",
 ) -> ray.data.Dataset:
     """Approximate near-dup pairs (doc_a < doc_b, est_jaccard) at scale:
-    only signatures shuffle; candidate pairs come from banded LSH."""
+    only signatures shuffle; candidate pairs come from banded LSH.
+    ``hash_basis="md5"`` switches the shingle hash + permutation family
+    to the SQL-mirrorable one (functions/dedup.minhash_params32) so a
+    DuckDB oracle can reproduce signatures, est values and banding
+    bit-for-bit; "siphash" (default) is the faster production basis."""
     import functools
 
     keyed = ds.map_batches(
         _MinHashStage(text_col=text_col, id_col=id_col, n=n, k=k,
-                      n_bands=n_bands, seed=seed),
+                      n_bands=n_bands, seed=seed, hash_basis=hash_basis),
         batch_format="pyarrow",
     )
     rows_per_band = k // n_bands
@@ -496,13 +511,16 @@ def minhash_lsh_near_dup(
 
 
 def simhash_fingerprints(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    hash_basis: str = "siphash",
 ) -> ray.data.Dataset:
-    """(id, simhash hex string) per document."""
+    """(id, simhash hex string) per document. ``hash_basis="md5"`` uses
+    the DuckDB-mirrorable token hash (md5_number_lower) so the driver's
+    SQL oracle reproduces fingerprints exactly."""
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        sigs = simhash64_batch([words(t or "") for t in texts])
+        sigs = simhash64_batch([words(t or "") for t in texts], basis=hash_basis)
         hexes = [f"{int(s):016x}" for s in sigs]
         return pa.table({
             id_col: batch[id_col],
@@ -518,16 +536,21 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_block: int = 10_000,
+    hash_basis: str = "siphash",
 ) -> ray.data.Dataset:
     """Pairs (doc_a < doc_b, hamming) with SimHash Hamming ≤ r, found by
-    (r+1)-segment band blocking (pigeonhole-complete) + exact verify."""
+    (r+1)-segment band blocking (pigeonhole-complete) + exact verify.
+    Blocking is exhaustive for Hamming ≤ r, so with ``hash_basis="md5"``
+    the output equals an all-pairs SQL mirror exactly at any scale."""
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         n = len(texts)
-        sigs = simhash64_batch([words(t or "") for t in texts])  # [N] uint64
+        sigs = simhash64_batch(
+            [words(t or "") for t in texts], basis=hash_basis
+        )  # [N] uint64
         # vectorized: int64 seg keys (part folded with the segment index
         # via wraparound part*n_seg+seg; seg = key % n_seg recovers it —
         # exact: parts are < 2^seg_bits so the fold only wraps when

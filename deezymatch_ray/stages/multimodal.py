@@ -48,10 +48,14 @@ def media_batch_size(max_payload_bytes: int, worker_heap_bytes: int = 512 << 20)
 def make_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
     """Deterministic fake media store for the given refs: payload bytes,
     dims and mime derived from a seeded digest of the ref (no external
-    data; stable across processes)."""
+    data; stable across processes).
+
+    The metadata digest is sha256 so a SQL oracle can mirror it exactly
+    (DuckDB ``sha256('<seed>:' || media_ref)``); the payload bytes stay
+    blake2b (payloads never appear in SQL-checked output)."""
     mimes, widths, heights, durs, contents = [], [], [], [], []
     for ref in media_refs:
-        d = hashlib.blake2b(f"{seed}:{ref}".encode(), digest_size=16).digest()
+        d = hashlib.sha256(f"{seed}:{ref}".encode()).digest()[:16]
         kind = d[0] % 3
         mimes.append(("image/png", "audio/wav", "video/mp4")[kind])
         widths.append(0 if kind == 1 else 16 + d[1] % 64)

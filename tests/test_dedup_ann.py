@@ -134,6 +134,46 @@ def test_minhash_estimates_track_exact_jaccard(docs_ds):
     assert len(missed) <= max(1, len(exact_pairs) // 10)
 
 
+def test_minhash_zero_shingle_docs_never_pair():
+    """Docs with < n words have no shingles; they must NOT surface as
+    est_jaccard=1.0 pairs via the all-max sentinel signatures (round-3
+    regression: the sentinel rows used to band-match each other)."""
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "one two"},          # < 3 words: no shingles
+        {"doc_id": 2, "text": "three four"},       # < 3 words: no shingles
+        {"doc_id": 3, "text": "a b c d e f g h"},
+        {"doc_id": 4, "text": "a b c d e f g h"},
+    ])
+    got = dedup.minhash_lsh_near_dup(ds, n=3, k=64, n_bands=16, threshold=0.5)
+    pairs = set(zip(*[got.to_pandas()[c] for c in ("doc_a", "doc_b")]))
+    assert pairs == {(3, 4)}
+
+
+def test_md5_basis_matches_duckdb_and_preserves_semantics(con):
+    """The md5 hash basis exists so SQL oracles can mirror signatures:
+    (a) md5_lower64_batch == DuckDB md5_number_lower per token, and
+    (b) md5-basis minhash/simhash keep the family's semantic guarantees
+    (identical sets → identical signatures; ~k/2 expected bit agreement
+    for unrelated sets)."""
+    from deezymatch_ray.functions.dedup import md5_lower64_batch
+
+    toks = ["", "abc", "αβγ", "a b", "zzz", "abc"]
+    got = md5_lower64_batch(toks)
+    want = [con.execute("select md5_number_lower(?)", [t]).fetchone()[0]
+            for t in toks]
+    assert [int(v) for v in got] == want
+    sh = [word_shingles("a b c d e f g h i j k", 3),
+          word_shingles("a b c d e f g h i j k", 3),
+          word_shingles("z y x w v u t s r q p", 3)]
+    sig = minhash_signatures(sh, k=64, seed=7, basis="md5")
+    assert (sig[0] == sig[1]).all()
+    assert (sig[0] == sig[2]).mean() < 0.2
+    assert (sig < (1 << 32)).all()  # 32-bit family: SQL UBIGINT-exact
+    s = simhash64_batch([words("the quick brown fox")], basis="md5")
+    assert s[0] != simhash64_batch([words("the quick brown fox")])[0]  # basis differs
+    assert s[0] == simhash64_batch([words("the quick brown fox")], basis="md5")[0]
+
+
 def test_minhash_signature_determinism_and_self_similarity():
     sh = [word_shingles("a b c d e f g h i j k", 3),
           word_shingles("a b c d e f g h i j k", 3),
