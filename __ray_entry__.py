@@ -107,8 +107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_counts": A.q_label_counts,
         # dedup family
         "exact_dedup": A.q_exact_dedup,
+        "exact_dedup_incremental": A.q_exact_dedup_incremental,
         "jaccard_near_dup": A.q_jaccard_near_dup,
         "minhash_near_dup": A.q_minhash_near_dup,
+        "minhash_dedup_incremental": A.q_minhash_dedup_incremental,
         "simhash": A.q_simhash,
         "simhash_near_dup": A.q_simhash_near_dup,
         "embedding_near_dup": A.q_embedding_near_dup,
@@ -276,15 +278,13 @@ def _simhash_near_dup_sql() -> str:
     )
 
 
-def _minhash_near_dup_sql() -> str:
-    """DuckDB mirror of q_minhash_near_dup (md5 hash basis): recomputes
-    the k=64 MinHash signatures with the SAME permutation constants
-    (functions/dedup.minhash_params32, embedded as literals — generated
-    from the code, so they cannot drift), the per-pair signature-
-    agreement estimate, and the 16-band LSH candidate rule (a pair
-    surfaces iff ≥1 band of 4 signature rows agrees completely). Every
-    arithmetic step is exact in UBIGINT, so this is a bit-for-bit
-    oracle of the distributed banding plan, not an approximation."""
+def _minhash_sig_ctes() -> str:
+    """Shared CTE prefix computing the k=64 md5-basis MinHash signature
+    table ``sig(doc_id, p, s)`` with the SAME permutation constants as
+    the kernel (functions/dedup.minhash_params32, embedded as literals —
+    generated from the code, so they cannot drift). Every arithmetic
+    step is exact in UBIGINT, so queries over ``sig`` are bit-for-bit
+    oracles of the distributed banding plan, not approximations."""
     from deezymatch_ray.functions.dedup import minhash_params32
 
     a, b = minhash_params32(64, seed=7)
@@ -293,7 +293,7 @@ def _minhash_near_dup_sql() -> str:
         for p in range(64)
     )
     return (
-        "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words "
+        "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words "
         "FROM documents), "
         "s AS (SELECT doc_id, list_distinct(list_transform("
         "generate_series(1, greatest(len(words) - 2, 0)), "
@@ -303,17 +303,41 @@ def _minhash_near_dup_sql() -> str:
         "AS h32 FROM g), "
         f"perm(p, a, b) AS (VALUES {perm_rows}), "
         "sig AS (SELECT doc_id, p, min((a * h32 + b) % 4294967296) AS s "
-        "FROM h, perm GROUP BY doc_id, p), "
-        "pb AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.p // 4 AS band, "
-        "CASE WHEN x.s = y.s THEN 1 ELSE 0 END AS eq "
-        "FROM sig x JOIN sig y ON x.p = y.p AND x.doc_id < y.doc_id), "
-        "bands AS (SELECT doc_a, doc_b, band, sum(eq) AS beq "
+        "FROM h, perm GROUP BY doc_id, p)"
+    )
+
+
+def _minhash_pairs_sql(pair_pred: str, a_name: str, b_name: str) -> str:
+    """Banded-LSH pair query over the shared ``sig`` table: per-pair
+    signature-agreement estimate + the 16-band candidate rule (a pair
+    surfaces iff ≥1 band of 4 signature rows agrees completely).
+    ``pair_pred`` selects which (x, y) doc pairs are eligible."""
+    return (
+        f"WITH {_minhash_sig_ctes()}, "
+        f"pb AS (SELECT x.doc_id AS {a_name}, y.doc_id AS {b_name}, "
+        "x.p // 4 AS band, CASE WHEN x.s = y.s THEN 1 ELSE 0 END AS eq "
+        f"FROM sig x JOIN sig y ON x.p = y.p AND ({pair_pred})), "
+        f"bands AS (SELECT {a_name}, {b_name}, band, sum(eq) AS beq "
         "FROM pb GROUP BY 1, 2, 3), "
-        "agg AS (SELECT doc_a, doc_b, sum(beq) / 64.0 AS est, "
+        f"agg AS (SELECT {a_name}, {b_name}, sum(beq) / 64.0 AS est, "
         "max(CASE WHEN beq = 4 THEN 1 ELSE 0 END) AS hasband "
         "FROM bands GROUP BY 1, 2) "
-        "SELECT doc_a, doc_b, round(est, 6) AS est_jaccard FROM agg "
+        f"SELECT {a_name}, {b_name}, round(est, 6) AS est_jaccard FROM agg "
         "WHERE hasband = 1 AND est >= 0.5"
+    )
+
+
+def _minhash_near_dup_sql() -> str:
+    """DuckDB mirror of q_minhash_near_dup (md5 hash basis)."""
+    return _minhash_pairs_sql("x.doc_id < y.doc_id", "doc_a", "doc_b")
+
+
+def _minhash_dedup_incremental_sql() -> str:
+    """DuckDB mirror of q_minhash_dedup_incremental: same banding, but
+    eligible pairs are NEW (doc_id % 10 = 0) × CORPUS (doc_id % 10 <> 0)
+    only — the incremental new-vs-archive join."""
+    return _minhash_pairs_sql(
+        "x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0", "new_id", "corpus_id"
     )
 
 
@@ -340,6 +364,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
         "minhash_near_dup": _minhash_near_dup_sql(),
+        "minhash_dedup_incremental": _minhash_dedup_incremental_sql(),
+        "exact_dedup_incremental": (
+            # content identity is md5 on BOTH sides (engine and oracle),
+            # so the match is exact even in the collision case
+            "SELECT n.doc_id FROM documents n WHERE n.doc_id % 10 = 0 "
+            "AND NOT EXISTS (SELECT 1 FROM documents c "
+            "WHERE c.doc_id % 10 <> 0 AND md5(c.text) = md5(n.text))"
+        ),
         "lang_id": _lang_id_sql(),
         "rolling_fingerprints": _rolling_fp_sql(),
         "normalize": (

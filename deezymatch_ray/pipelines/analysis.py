@@ -134,6 +134,39 @@ def q_minhash_near_dup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _new_corpus_split(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Deterministic incremental-dedup fixture over the driver table:
+    docs with doc_id % 10 == 0 play the NEW batch, the rest the CORPUS
+    (mirrored by the same predicate in the SQL oracles)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mod_is(rem_zero: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = (batch["doc_id"].to_numpy() % 10 == 0) == rem_zero
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    return (
+        docs.map_batches(mod_is(True), batch_format="pyarrow"),
+        docs.map_batches(mod_is(False), batch_format="pyarrow"),
+    )
+
+
+def q_exact_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    new, corpus = _new_corpus_split(sf_dir)
+    return dedup.exact_dedup_incremental(new, corpus)
+
+
+def q_minhash_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """New-vs-corpus banded LSH near-dup on the md5 basis (bit-exact
+    SQL oracle, same mirror as q_minhash_near_dup)."""
+    new, corpus = _new_corpus_split(sf_dir)
+    return dedup.minhash_lsh_dedup_incremental(
+        new, corpus, n=3, k=64, n_bands=16, threshold=0.5, hash_basis="md5"
+    )
+
+
 def q_simhash(sf_dir: str) -> ray.data.Dataset:
     return dedup.simhash_fingerprints(
         _read(sf_dir, "documents", ["doc_id", "text"]), hash_basis="md5"

@@ -24,6 +24,11 @@ the engine's own scale surface):
 - ``embedding_near_dup``: exact cosine over an embedding column against
   a broadcast matrix (valid while one side fits in the object store;
   the blocked/IVF variant is `ann.py`).
+- ``exact_dedup_incremental`` / ``minhash_lsh_dedup_incremental``: the
+  new-vs-archive variants ("dedup today's crawl against the corpus"):
+  content-hash anti-join (only (id, md5, side) shuffles) and
+  cross-side-only banded LSH (new×new / corpus×corpus pairs are never
+  formed).
 """
 
 from __future__ import annotations
@@ -504,6 +509,150 @@ def minhash_lsh_near_dup(
         return pd.DataFrame({
             "doc_a": a,
             "doc_b": np.concatenate(out_b),
+            "est_jaccard": [round(float(v), 6) for v in np.concatenate(out_j)],
+        })
+
+    return keyed.groupby("band_key").map_groups(block, batch_format="pandas")
+
+
+def exact_dedup_incremental(
+    new_ds: ray.data.Dataset,
+    corpus_ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Incremental exact dedup: ids of NEW docs whose content does not
+    already exist in the CORPUS (the "dedup today's crawl against the
+    archive" anti-join).
+
+    Scale plan: each side projects to (id, fp=md5-hex of text, side) —
+    the text itself never shuffles — then one bucketed groupby on the
+    fingerprint co-locates equal contents; a new id survives iff its
+    bucket slice holds no corpus row with the same fp. Within-new
+    duplicates are NOT collapsed (that is ``exact_dedup``'s job); the
+    contract is purely new-vs-corpus. md5 is content identity here
+    exactly as in DuckDB's ``md5(text)``, so the SQL oracle matches
+    even in the (negligible) collision case.
+    """
+    import hashlib
+
+    from deezymatch_ray.stages.ranking import bucketize
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            fps = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+            n = len(texts)
+            return pa.table({
+                "id": batch[id_col],
+                "fp": pa.array(fps, type=pa.string()),
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+            })
+
+        return fn
+
+    both = new_ds.map_batches(project(1), batch_format="pyarrow").union(
+        corpus_ds.map_batches(project(0), batch_format="pyarrow")
+    )
+
+    def keep_new(bucket: pd.DataFrame) -> pd.DataFrame:
+        corp = set(bucket.loc[bucket["side"] == 0, "fp"])
+        out = bucket.loc[
+            (bucket["side"] == 1) & ~bucket["fp"].isin(corp), ["id"]
+        ]
+        return out.rename(columns={"id": id_col}).sort_values(id_col)
+
+    return (
+        bucketize(both, ["fp"], num_buckets)
+        .groupby("__bucket")
+        .map_groups(keep_new, batch_format="pandas")
+    )
+
+
+def minhash_lsh_dedup_incremental(
+    new_ds: ray.data.Dataset,
+    corpus_ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 7,
+    max_block: int = 10_000,
+    hash_basis: str = "siphash",
+) -> ray.data.Dataset:
+    """Incremental near-dup: (new_id, corpus_id, est_jaccard) for every
+    NEW doc whose MinHash signature estimates Jaccard ≥ threshold
+    against a CORPUS doc — the LSH-banded new-vs-archive join. Only
+    signatures + an int8 side tag shuffle; candidate pairs are
+    cross-side only (new×new and corpus×corpus pairs are never formed),
+    and each surviving pair is emitted once by its first fully-equal
+    band (same ownership rule as ``minhash_lsh_near_dup``, so the same
+    SQL mirror applies on the md5 basis)."""
+    stage = _MinHashStage(text_col=text_col, id_col=id_col, n=n, k=k,
+                          n_bands=n_bands, seed=seed, hash_basis=hash_basis)
+
+    def tagged(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = stage(batch)
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+
+        return fn
+
+    keyed = new_ds.map_batches(tagged(1), batch_format="pyarrow").union(
+        corpus_ds.map_batches(tagged(0), batch_format="pyarrow")
+    )
+    rows_per_band = k // n_bands
+
+    def block(group: pd.DataFrame) -> pd.DataFrame:
+        """Cross-side verification in bounded chunks: slabs of new rows
+        compare against the whole corpus side as a [c, m_corp, k]
+        equality tensor (≤ ~16 MB per slab at the default chunk size)."""
+        empty = pd.DataFrame({"new_id": [], "corpus_id": [], "est_jaccard": []})
+        m = len(group)
+        if m < 2 or m > max_block:
+            return empty
+        bidx = (int(group["band_key"].iloc[0]) & ((1 << 64) - 1)) % n_bands
+        side = group["side"].to_numpy()
+        ids = group["id"].to_numpy()
+        sig_col = group["sig"].to_numpy()
+        new_rows = np.flatnonzero(side == 1)
+        corp_rows = np.flatnonzero(side == 0)
+        if new_rows.size == 0 or corp_rows.size == 0:
+            return empty
+        new_rows = new_rows[np.argsort(ids[new_rows], kind="stable")]
+        corp_rows = corp_rows[np.argsort(ids[corp_rows], kind="stable")]
+        sig_n = np.stack(sig_col[new_rows]).view(np.uint64)
+        sig_c = np.stack(sig_col[corp_rows]).view(np.uint64)
+        kk = sig_n.shape[1]
+        nb = kk // rows_per_band
+        m_c = sig_c.shape[0]
+        slab = max(1, (1 << 18) // m_c)
+        out_n, out_c, out_j = [], [], []
+        for s0 in range(0, sig_n.shape[0], slab):
+            sn = sig_n[s0 : s0 + slab]
+            eq = sn[:, None, :] == sig_c[None, :, :]  # [c, m_c, k]
+            est = eq.mean(axis=2)
+            full = eq[:, :, : nb * rows_per_band].reshape(
+                sn.shape[0], m_c, nb, rows_per_band
+            ).all(axis=3)
+            has = full.any(axis=2)
+            first = full.argmax(axis=2)
+            keep = has & (first == bidx) & (est >= threshold)
+            ii, jj = np.nonzero(keep)
+            out_n.append(ids[new_rows[s0 + ii]])
+            out_c.append(ids[corp_rows[jj]])
+            out_j.append(est[ii, jj])
+        a = np.concatenate(out_n) if out_n else np.array([])
+        if len(a) == 0:
+            return empty
+        return pd.DataFrame({
+            "new_id": a,
+            "corpus_id": np.concatenate(out_c),
             "est_jaccard": [round(float(v), 6) for v in np.concatenate(out_j)],
         })
 

@@ -174,6 +174,55 @@ def test_md5_basis_matches_duckdb_and_preserves_semantics(con):
     assert s[0] == simhash64_batch([words("the quick brown fox")], basis="md5")[0]
 
 
+def test_exact_dedup_incremental_anti_join():
+    new = ray.data.from_items([
+        {"doc_id": 10, "text": "shared content alpha"},
+        {"doc_id": 20, "text": "fresh content beta"},
+        {"doc_id": 30, "text": "fresh content beta"},   # dup within NEW: kept
+        {"doc_id": 40, "text": "shared content gamma"},
+    ])
+    corpus = ray.data.from_items([
+        {"doc_id": 1, "text": "shared content alpha"},
+        {"doc_id": 2, "text": "shared content gamma"},
+        {"doc_id": 3, "text": "archive only delta"},
+    ])
+    got = sorted(dedup.exact_dedup_incremental(new, corpus).to_pandas()["doc_id"])
+    # new docs matching corpus content drop; within-new dups both survive
+    assert got == [20, 30]
+
+
+def test_minhash_incremental_matches_cross_side_brute_force(docs_ds):
+    """The incremental plan must equal a brute-force cross-side filter
+    of the full near-dup pair set: split the corpus by doc_id % 10, run
+    both the symmetric and the incremental pipelines, and check the
+    incremental output is exactly the symmetric pairs with one NEW and
+    one CORPUS side (est values identical)."""
+    import pyarrow as _pa
+
+    def side(rem_zero):
+        def fn(b):
+            mask = (b["doc_id"].to_numpy() % 10 == 0) == rem_zero
+            return b.filter(_pa.array(mask))
+        return fn
+
+    new = docs_ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = docs_ds.map_batches(side(False), batch_format="pyarrow")
+    inc = dedup.minhash_lsh_dedup_incremental(
+        new, corpus, n=3, k=64, n_bands=16, threshold=0.5
+    ).to_pandas()
+    full = dedup.minhash_lsh_near_dup(
+        docs_ds, n=3, k=64, n_bands=16, threshold=0.5
+    ).to_pandas()
+    want = {}
+    for _, r in full.iterrows():
+        a_new, b_new = r.doc_a % 10 == 0, r.doc_b % 10 == 0
+        if a_new != b_new:  # exactly one side is NEW
+            nid, cid = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+            want[(nid, cid)] = r.est_jaccard
+    got = {(r.new_id, r.corpus_id): r.est_jaccard for _, r in inc.iterrows()}
+    assert got == want and len(got) > 0
+
+
 def test_minhash_signature_determinism_and_self_similarity():
     sh = [word_shingles("a b c d e f g h i j k", 3),
           word_shingles("a b c d e f g h i j k", 3),
