@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": A.q_simhash,
         "simhash_near_dup": A.q_simhash_near_dup,
         "embedding_near_dup": A.q_embedding_near_dup,
+        "embedding_near_dup_incremental": A.q_embedding_near_dup_incremental,
         # similarity search
         "ann_topk": A.q_ann_topk,
         "ann_ivf_topk": A.q_ann_ivf_topk,
@@ -419,6 +420,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND "
             "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"
+        ),
+        "embedding_near_dup_incremental": (
+            "SELECT n.vec_id AS new_id, c.vec_id AS corpus_id, "
+            "round(CAST(list_cosine_similarity(n.embedding, c.embedding) AS DOUBLE), 3) AS cos_sim "
+            "FROM embeddings n JOIN embeddings c "
+            "ON n.vec_id % 10 = 0 AND c.vec_id % 10 <> 0 "
+            "WHERE list_cosine_similarity(n.embedding, c.embedding) >= 0.4"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

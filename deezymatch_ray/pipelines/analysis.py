@@ -186,6 +186,25 @@ def q_embedding_near_dup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_embedding_near_dup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """NEW (vec_id % 10 == 0) vs CORPUS cosine near-dup; the NEW side
+    broadcasts, the CORPUS streams."""
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def mod_is(rem_zero: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = (batch["vec_id"].to_numpy() % 10 == 0) == rem_zero
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    return dedup.embedding_near_dup_incremental(
+        vecs.map_batches(mod_is(True), batch_format="pyarrow"),
+        vecs.map_batches(mod_is(False), batch_format="pyarrow"),
+        threshold=0.4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -985,3 +985,62 @@ def embedding_near_dup(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def embedding_near_dup_incremental(
+    new_ds: ray.data.Dataset,
+    corpus_ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    round_to: int = 3,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Incremental embedding near-dup: (new_id, corpus_id, cos_sim) for
+    NEW vectors with cosine ≥ threshold against the CORPUS. The scale
+    asymmetry drives the plan: the NEW side (a crawl increment) is the
+    small one, so it is the side that materializes + broadcasts
+    (``ray.put`` once, loud abort past ``broadcast_limit``) while the
+    archive-sized CORPUS only streams through ``map_batches`` — the
+    opposite orientation of ``embedding_near_dup``'s self-join."""
+    import ray as _ray
+
+    batches = []
+    n_rows = 0
+    for b in new_ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+        n_rows += b.num_rows
+        if n_rows > broadcast_limit:
+            raise ValueError(
+                f"embedding_near_dup_incremental broadcasts the NEW side "
+                f"(>{broadcast_limit} rows seen); batch the increment or "
+                "use embedding_near_dup_lsh over the union for symmetric "
+                "no-broadcast matching"
+            )
+        batches.append(b)
+    tbl = pa.concat_tables(batches)
+    n_ids = np.asarray(tbl[id_col].to_pylist())
+    n_mat = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in tbl[vec_col].to_pylist()]
+    ).astype(np.float64)
+    n_norms = np.linalg.norm(n_mat, axis=1)
+    payload = _ray.put((n_ids, n_mat, n_norms))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, q_norms = _ray.get(payload)
+        c_ids = np.asarray(batch[id_col].to_pylist())
+        c = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()]
+        ).astype(np.float64)
+        cn = np.linalg.norm(c, axis=1)
+        sims = (q_mat @ c.T) / np.maximum(q_norms[:, None] * cn[None, :], 1e-12)
+        qi, ci = np.nonzero(sims >= threshold)
+        return pa.table({
+            "new_id": pa.array(q_ids[qi]),
+            "corpus_id": pa.array(c_ids[ci]),
+            "cos_sim": pa.array(
+                [round(float(v), round_to) for v in sims[qi, ci]],
+                type=pa.float64(),
+            ),
+        })
+
+    return corpus_ds.map_batches(fn, batch_format="pyarrow")

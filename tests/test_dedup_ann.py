@@ -223,6 +223,32 @@ def test_minhash_incremental_matches_cross_side_brute_force(docs_ds):
     assert got == want and len(got) > 0
 
 
+def test_embedding_incremental_matches_cross_side_brute_force():
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(40, 8)).astype(np.float32)
+    mat[7] = mat[3] + 0.01  # a cross-side near-dup (3 corpus, 7 … depends on split)
+    rows = [{"vec_id": i, "embedding": list(map(float, mat[i]))} for i in range(40)]
+    ds = ray.data.from_items(rows)
+    new = ds.filter(lambda r: r["vec_id"] % 10 == 0)
+    corpus = ds.filter(lambda r: r["vec_id"] % 10 != 0)
+    got = dedup.embedding_near_dup_incremental(new, corpus, threshold=0.4).to_pandas()
+    m64 = mat.astype(np.float64)
+    sims = (m64 @ m64.T) / np.maximum(
+        np.linalg.norm(m64, axis=1)[:, None] * np.linalg.norm(m64, axis=1)[None, :], 1e-12
+    )
+    want = {
+        (i, j): round(float(sims[i, j]), 3)
+        for i in range(40) for j in range(40)
+        if i % 10 == 0 and j % 10 != 0 and sims[i, j] >= 0.4
+    }
+    assert {(r.new_id, r.corpus_id): r.cos_sim for _, r in got.iterrows()} == want
+    # the broadcast gate is on the NEW side and aborts loudly
+    with pytest.raises(ValueError, match="broadcasts the NEW side"):
+        dedup.embedding_near_dup_incremental(
+            new, corpus, threshold=0.4, broadcast_limit=2
+        ).to_pandas()
+
+
 def test_minhash_signature_determinism_and_self_similarity():
     sh = [word_shingles("a b c d e f g h i j k", 3),
           word_shingles("a b c d e f g h i j k", 3),
