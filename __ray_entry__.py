@@ -368,10 +368,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_incremental": _minhash_dedup_incremental_sql(),
         "exact_dedup_incremental": (
             # content identity is md5 on BOTH sides (engine and oracle),
-            # so the match is exact even in the collision case
+            # so the match is exact even in the collision case; coalesce
+            # mirrors the engine's null-text → "" mapping (md5(NULL) is
+            # NULL in SQL and would silently never match)
             "SELECT n.doc_id FROM documents n WHERE n.doc_id % 10 = 0 "
             "AND NOT EXISTS (SELECT 1 FROM documents c "
-            "WHERE c.doc_id % 10 <> 0 AND md5(c.text) = md5(n.text))"
+            "WHERE c.doc_id % 10 <> 0 "
+            "AND md5(coalesce(c.text, '')) = md5(coalesce(n.text, '')))"
         ),
         "lang_id": _lang_id_sql(),
         "rolling_fingerprints": _rolling_fp_sql(),

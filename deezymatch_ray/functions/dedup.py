@@ -165,20 +165,30 @@ def minhash_signatures(
 
 def band_keys_int(sigs: np.ndarray, n_bands: int) -> np.ndarray:
     """[N, n_bands] int64 LSH band keys (uint64 bitcast): FNV digest of
-    the band's signature rows folded with the band index via wraparound
-    ``digest * n_bands + bidx``. Two docs share a key iff the whole band
-    agrees (up to the same negligible 64-bit digest-collision class as
-    the string variant); ``bidx = key % n_bands`` recovers the band. An
-    int64 key shuffles ~3× fewer bytes than the old "bidx:hex" string
-    and skips 16 f-string formats per row."""
+    the band's signature rows folded with the band index via
+    ``(digest mod ⌊(2^64-1)/n_bands⌋) * n_bands + bidx`` — the fold can
+    never wrap, so ``bidx = key % n_bands`` recovers the band EXACTLY
+    for any n_bands (a plain wraparound ``digest*n_bands+bidx`` fold is
+    only band-recoverable when n_bands divides 2^64, i.e. powers of
+    two; non-power-of-two fan-outs silently mis-assigned ~(1-1/nb) of
+    groups). Two docs share a key iff the whole band agrees (up to the
+    same negligible digest-collision class as the string variant — the
+    digest keeps 64 - log2(n_bands) bits). An int64 key shuffles ~3×
+    fewer bytes than the old "bidx:hex" string and skips 16 f-string
+    formats per row."""
     n, k = sigs.shape
     rows = k // n_bands
     segs = sigs[:, : n_bands * rows].reshape(n, n_bands, rows)
     acc = np.full((n, n_bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    # (2^64-1)//nb fits uint64 for every nb ≥ 1 and keeps the max key
+    # (cap-1)*nb + nb-1 = cap*nb - 1 ≤ 2^64-2 — no wrap, exact recovery
+    cap = np.uint64(((1 << 64) - 1) // n_bands)
     with np.errstate(over="ignore"):
         for r in range(rows):
             acc = (acc ^ segs[:, :, r]) * np.uint64(0x100000001B3)
-        keys = acc * np.uint64(n_bands) + np.arange(n_bands, dtype=np.uint64)[None, :]
+        keys = (acc % cap) * np.uint64(n_bands) + np.arange(
+            n_bands, dtype=np.uint64
+        )[None, :]
     return keys.view(np.int64)
 
 

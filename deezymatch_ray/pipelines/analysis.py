@@ -134,23 +134,28 @@ def q_minhash_near_dup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def _new_corpus_split(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
-    """Deterministic incremental-dedup fixture over the driver table:
-    docs with doc_id % 10 == 0 play the NEW batch, the rest the CORPUS
-    (mirrored by the same predicate in the SQL oracles)."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+def _mod10_sides(
+    ds: ray.data.Dataset, id_col: str
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Deterministic incremental-dedup fixture split: rows with
+    id % 10 == 0 play the NEW batch, the rest the CORPUS (mirrored by
+    the same predicate in the SQL oracles)."""
 
     def mod_is(rem_zero: bool):
         def fn(batch: pa.Table) -> pa.Table:
-            mask = (batch["doc_id"].to_numpy() % 10 == 0) == rem_zero
+            mask = (batch[id_col].to_numpy() % 10 == 0) == rem_zero
             return batch.filter(pa.array(mask))
 
         return fn
 
     return (
-        docs.map_batches(mod_is(True), batch_format="pyarrow"),
-        docs.map_batches(mod_is(False), batch_format="pyarrow"),
+        ds.map_batches(mod_is(True), batch_format="pyarrow"),
+        ds.map_batches(mod_is(False), batch_format="pyarrow"),
     )
+
+
+def _new_corpus_split(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    return _mod10_sides(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
 
 
 def q_exact_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
@@ -189,20 +194,10 @@ def q_embedding_near_dup(sf_dir: str) -> ray.data.Dataset:
 def q_embedding_near_dup_incremental(sf_dir: str) -> ray.data.Dataset:
     """NEW (vec_id % 10 == 0) vs CORPUS cosine near-dup; the NEW side
     broadcasts, the CORPUS streams."""
-    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def mod_is(rem_zero: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            mask = (batch["vec_id"].to_numpy() % 10 == 0) == rem_zero
-            return batch.filter(pa.array(mask))
-
-        return fn
-
-    return dedup.embedding_near_dup_incremental(
-        vecs.map_batches(mod_is(True), batch_format="pyarrow"),
-        vecs.map_batches(mod_is(False), batch_format="pyarrow"),
-        threshold=0.4,
+    new, corpus = _mod10_sides(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), "vec_id"
     )
+    return dedup.embedding_near_dup_incremental(new, corpus, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

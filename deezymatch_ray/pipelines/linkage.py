@@ -235,16 +235,23 @@ def cluster_near_dup_documents(
         idx = np.minimum(np.searchsorted(a, b), a.size - 1)
         return int(np.count_nonzero(a[idx] == b))
 
+    def _jaccard_ok(sa: np.ndarray, sb: np.ndarray) -> bool:
+        """THE accept predicate for both verify paths (broadcast and
+        join) — one definition so a threshold/denominator tweak can
+        never diverge them."""
+        inter = _inter_count(sa, sb)
+        denom = sa.size + sb.size - inter
+        return denom > 0 and inter / denom >= jaccard_threshold
+
     def _blob_pairs_ok(a_blobs: list, b_blobs: list) -> list[int]:
-        keep = []
-        for i in range(len(a_blobs)):
-            sa = np.frombuffer(a_blobs[i] or b"", dtype="S16")
-            sb = np.frombuffer(b_blobs[i] or b"", dtype="S16")
-            inter = _inter_count(sa, sb)
-            denom = sa.size + sb.size - inter
-            if denom > 0 and inter / denom >= jaccard_threshold:
-                keep.append(i)
-        return keep
+        return [
+            i
+            for i in range(len(a_blobs))
+            if _jaccard_ok(
+                np.frombuffer(a_blobs[i] or b"", dtype="S16"),
+                np.frombuffer(b_blobs[i] or b"", dtype="S16"),
+            )
+        ]
 
     if n_cand <= 500_000:
         # small candidate set: broadcast the involved docs' shingle-hash
@@ -274,14 +281,11 @@ def cluster_near_dup_documents(
             a_ids = batch["doc_a"].to_pylist()
             b_ids = batch["doc_b"].to_pylist()
             empty = np.array([], dtype="S16")
-            keep = []
-            for i in range(len(a_ids)):
-                sa = hm.get(a_ids[i], empty)
-                sb = hm.get(b_ids[i], empty)
-                inter = _inter_count(sa, sb)
-                denom = sa.size + sb.size - inter
-                if denom > 0 and inter / denom >= jaccard_threshold:
-                    keep.append(i)
+            keep = [
+                i
+                for i in range(len(a_ids))
+                if _jaccard_ok(hm.get(a_ids[i], empty), hm.get(b_ids[i], empty))
+            ]
             t = batch.take(pa.array(keep, type=pa.int64()))
             return pa.table({"src": t["doc_a"], "dst": t["doc_b"]})
 

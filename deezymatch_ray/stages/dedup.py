@@ -408,6 +408,28 @@ def jaccard_near_dup(
     return cand.map_batches(finish, batch_format="pyarrow")
 
 
+def _band_group_stats(keyed: ray.data.Dataset, max_block: int,
+                      stats_out: dict) -> None:
+    """One count-aggregation over the exploded band keys: how many band
+    groups exist and how many exceed ``max_block`` (and are therefore
+    skipped by the verify stage). Diagnostic path — opt-in via
+    ``stats_out`` because it consumes the keyed dataset once more."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["band_key"].to_numpy(), return_counts=True)
+        return pa.table({"band_key": pa.array(u), "cnt": pa.array(c)})
+
+    sizes = (
+        keyed.map_batches(partial, batch_format="pyarrow")
+        .groupby("band_key").aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    stats_out["n_band_groups"] = int(sizes.count())
+    stats_out["oversized_band_groups"] = int(
+        sizes.filter(expr=f"cnt > {max_block}").count()
+    )
+
+
 class _MinHashStage:
     """map_batches stage: (id, text) → (id, sig fixed_size_list<uint64
     as int64-bitcast>, int64 band_key exploded rows). Runs as a stateless TASK
@@ -460,13 +482,21 @@ def minhash_lsh_near_dup(
     seed: int = 7,
     max_block: int = 10_000,
     hash_basis: str = "siphash",
+    stats_out: dict | None = None,
 ) -> ray.data.Dataset:
     """Approximate near-dup pairs (doc_a < doc_b, est_jaccard) at scale:
     only signatures shuffle; candidate pairs come from banded LSH.
     ``hash_basis="md5"`` switches the shingle hash + permutation family
     to the SQL-mirrorable one (functions/dedup.minhash_params32) so a
     DuckDB oracle can reproduce signatures, est values and banding
-    bit-for-bit; "siphash" (default) is the faster production basis."""
+    bit-for-bit; "siphash" (default) is the faster production basis.
+
+    Band groups larger than ``max_block`` are SKIPPED (a band shared by
+    >10k docs means degenerate boilerplate whose O(m²) pair list is
+    itself pathological output); pass ``stats_out`` to pay one extra
+    count-aggregation and receive ``n_band_groups`` /
+    ``oversized_band_groups`` so the skip is visible — the same
+    contract as ``jaccard_near_dup`` / ``embedding_near_dup_lsh``."""
     import functools
 
     keyed = ds.map_batches(
@@ -474,6 +504,8 @@ def minhash_lsh_near_dup(
                       n_bands=n_bands, seed=seed, hash_basis=hash_basis),
         batch_format="pyarrow",
     )
+    if stats_out is not None:
+        _band_group_stats(keyed, max_block, stats_out)
     rows_per_band = k // n_bands
 
     def block(group: pd.DataFrame) -> pd.DataFrame:
@@ -582,6 +614,7 @@ def minhash_lsh_dedup_incremental(
     seed: int = 7,
     max_block: int = 10_000,
     hash_basis: str = "siphash",
+    stats_out: dict | None = None,
 ) -> ray.data.Dataset:
     """Incremental near-dup: (new_id, corpus_id, est_jaccard) for every
     NEW doc whose MinHash signature estimates Jaccard ≥ threshold
@@ -590,7 +623,12 @@ def minhash_lsh_dedup_incremental(
     cross-side only (new×new and corpus×corpus pairs are never formed),
     and each surviving pair is emitted once by its first fully-equal
     band (same ownership rule as ``minhash_lsh_near_dup``, so the same
-    SQL mirror applies on the md5 basis)."""
+    SQL mirror applies on the md5 basis).
+
+    Band groups past ``max_block`` rows are skipped like the symmetric
+    plan's (degenerate boilerplate bands); pass ``stats_out`` to get
+    ``n_band_groups`` / ``oversized_band_groups`` so skips are never
+    silent."""
     stage = _MinHashStage(text_col=text_col, id_col=id_col, n=n, k=k,
                           n_bands=n_bands, seed=seed, hash_basis=hash_basis)
 
@@ -606,6 +644,8 @@ def minhash_lsh_dedup_incremental(
     keyed = new_ds.map_batches(tagged(1), batch_format="pyarrow").union(
         corpus_ds.map_batches(tagged(0), batch_format="pyarrow")
     )
+    if stats_out is not None:
+        _band_group_stats(keyed, max_block, stats_out)
     rows_per_band = k // n_bands
 
     def block(group: pd.DataFrame) -> pd.DataFrame:
@@ -795,10 +835,12 @@ def embedding_near_dup_lsh(
     mode costs one ``ds.count()`` (metadata-cheap on a parquet read;
     pass both explicitly to skip it on an expensive lazy input).
 
-    Shuffle volume: each vector ships ``n_tables`` times as a
-    (small-string bucket key, id, float32 vector) row — linear in the
-    corpus with an n_tables constant, the standard LSH trade: more
-    tables buy recall with proportional shuffle.
+    Shuffle volume: each vector ships ``n_tables`` times as an
+    (int64 bucket key, id, float32 vector) row — linear in the corpus
+    with an n_tables constant, the standard LSH trade: more tables buy
+    recall with proportional shuffle. Auto mode caps n_tables at 512
+    and WARNS (with the achieved recall in ``stats_out``) if the recall
+    target would need more.
 
     ``stats_out`` (if given) receives n_bits / n_tables / n_buckets /
     oversized_buckets so bucket skew is visible (costs one extra small
@@ -815,10 +857,29 @@ def embedding_near_dup_lsh(
         if n_tables is None:
             target_recall = 1 - (1 - p ** 5) ** 48
             miss = max(1.0 - p ** n_bits, 1e-12)
-            n_tables = max(48, math.ceil(
+            n_tables_target = max(48, math.ceil(
                 math.log(max(1 - target_recall, 1e-12)) / math.log(miss) - 1e-9
             ))
-            n_tables = min(n_tables, 512)
+            # shuffle-volume guard: past 512 tables the linear-in-tables
+            # shuffle dominates; if the recall target needs more, WARN —
+            # a silent cap would quietly void the documented recall bound
+            n_tables = min(n_tables_target, 512)
+            if n_tables < n_tables_target:
+                import warnings
+
+                achieved = 1 - (1 - p ** n_bits) ** n_tables
+                warnings.warn(
+                    f"embedding_near_dup_lsh: auto n_tables target "
+                    f"{n_tables_target} capped to 512 (shuffle-volume "
+                    f"guard); per-pair recall at threshold falls to "
+                    f"~{achieved:.3f} instead of the documented "
+                    f"{target_recall:.3f}. Pass n_tables explicitly to "
+                    f"override, or raise max_block to lower n_bits.",
+                    stacklevel=2,
+                )
+                if stats_out is not None:
+                    stats_out["n_tables_target"] = n_tables_target
+                    stats_out["recall_at_threshold"] = achieved
     if stats_out is not None:
         stats_out["n_bits"] = n_bits
         stats_out["n_tables"] = n_tables
@@ -844,11 +905,17 @@ def embedding_near_dup_lsh(
                         for v in batch[vec_col].to_pylist()]).astype(np.float64)
         bits = (mat @ pl.T) > 0
         sig = bits.reshape(n, n_tables, n_bits) @ weights  # [N, T]
-        keys = [f"{t}:{int(sig[i, t])}" for i in range(n) for t in range(n_tables)]
+        # int64 key fold pattern*n_tables + t (pattern < 2^n_bits, so no
+        # overflow for any realistic n_bits) — vectorized, and an int64
+        # shuffles fewer bytes than the old "t:int" f-string per row
+        keys = (
+            sig.astype(np.int64) * n_tables
+            + np.arange(n_tables, dtype=np.int64)[None, :]
+        ).reshape(-1)
         rep = np.repeat(np.arange(n), n_tables)
         vecs = mat.astype(np.float32)[rep]
         return pa.table({
-            "bkey": pa.array(keys, type=pa.string()),
+            "bkey": pa.array(keys),
             "id": ids.take(pa.array(rep)),
             "vec": pa.FixedSizeListArray.from_arrays(
                 pa.array(vecs.reshape(-1)), d),
@@ -961,6 +1028,13 @@ def embedding_near_dup(
                 "embedding_near_dup_lsh for corpora past the object-store bound"
             )
         batches.append(b)
+    batches = [b for b in batches if b.num_rows]
+    if not batches:
+        id_type = ds.schema().field(id_col).type
+        return ds.map_batches(
+            lambda b: _empty_pair_table("vec_a", "vec_b", id_type),
+            batch_format="pyarrow",
+        )
     tbl = pa.concat_tables(batches)
     ids = np.asarray(tbl[id_col].to_pylist())
     mat = np.stack([np.asarray(v, dtype=np.float32) for v in tbl[vec_col].to_pylist()])
@@ -971,6 +1045,8 @@ def embedding_near_dup(
     def fn(batch: pa.Table) -> pa.Table:
         c_ids, c_mat, c_norms = _ray.get(payload)
         q_ids = np.asarray(batch[id_col].to_pylist())
+        if len(q_ids) == 0:  # filters upstream routinely emit empty blocks
+            return _empty_pair_table("vec_a", "vec_b", batch[id_col].type)
         q = np.stack([np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()]).astype(np.float64)
         qn = np.linalg.norm(q, axis=1)
         sims = (q @ c_mat.T) / np.maximum(qn[:, None] * c_norms[None, :], 1e-12)
@@ -985,6 +1061,16 @@ def embedding_near_dup(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _empty_pair_table(a_name: str, b_name: str, id_type: pa.DataType) -> pa.Table:
+    """Typed empty (a, b, cos_sim) output block — an untyped empty
+    table would break the stream's schema union."""
+    return pa.table({
+        a_name: pa.array([], type=id_type),
+        b_name: pa.array([], type=id_type),
+        "cos_sim": pa.array([], type=pa.float64()),
+    })
 
 
 def embedding_near_dup_incremental(
@@ -1017,7 +1103,16 @@ def embedding_near_dup_incremental(
                 "no-broadcast matching"
             )
         batches.append(b)
-    tbl = pa.concat_tables(batches)
+    nonempty = [b for b in batches if b.num_rows]
+    if not nonempty:
+        # an empty increment dedups to nothing — emit a typed empty
+        # stream (concat_tables([]) / np.stack([]) would raise)
+        id_type = corpus_ds.schema().field(id_col).type
+        return corpus_ds.map_batches(
+            lambda b: _empty_pair_table("new_id", "corpus_id", id_type),
+            batch_format="pyarrow",
+        )
+    tbl = pa.concat_tables(nonempty)
     n_ids = np.asarray(tbl[id_col].to_pylist())
     n_mat = np.stack(
         [np.asarray(v, dtype=np.float32) for v in tbl[vec_col].to_pylist()]
@@ -1028,6 +1123,8 @@ def embedding_near_dup_incremental(
     def fn(batch: pa.Table) -> pa.Table:
         q_ids, q_mat, q_norms = _ray.get(payload)
         c_ids = np.asarray(batch[id_col].to_pylist())
+        if len(c_ids) == 0:  # filters upstream routinely emit empty blocks
+            return _empty_pair_table("new_id", "corpus_id", batch[id_col].type)
         c = np.stack(
             [np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()]
         ).astype(np.float64)

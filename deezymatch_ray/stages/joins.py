@@ -83,7 +83,21 @@ def asof_join_latest(
     )
 
     def _restore_dtypes(df: pd.DataFrame) -> pd.DataFrame:
-        bad = {c: pd_dtypes[c] for c in lcols if df[c].dtype != pd_dtypes[c]}
+        bad = {}
+        for c in lcols:
+            if df[c].dtype == pd_dtypes[c]:
+                continue
+            want = pd_dtypes[c]
+            # a left column that itself contains nulls can't go back to
+            # a plain int dtype (IntCastingNaNError); use the pandas
+            # nullable Int<bits> — Arrow still emits the original int64/
+            # int32 type for it, so the output schema stays identical
+            if pd.api.types.is_integer_dtype(want) and df[c].isna().any():
+                kind = "UInt" if np.dtype(want).kind == "u" else "Int"
+                want = pd.api.types.pandas_dtype(
+                    f"{kind}{np.dtype(want).itemsize * 8}"
+                )
+            bad[c] = want
         return df.astype(bad) if bad else df
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:

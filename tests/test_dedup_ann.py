@@ -249,6 +249,38 @@ def test_embedding_incremental_matches_cross_side_brute_force():
         ).to_pandas()
 
 
+def test_minhash_non_power_of_two_band_count_loses_no_pairs():
+    """Round-3 regression: the int64 band-key fold must recover the
+    band index exactly for ANY n_bands (the old wraparound fold
+    mis-assigned ~2/3 of groups at n_bands=3, silently dropping
+    pairs). Near-identical docs must all pair at n_bands ∈ {3, 5}."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # 4 identical docs (est 1.0 → every band agrees → must ALL pair at
+    # any n_bands) + 2 distinct ones
+    texts = [base] * 4 + [base + " iota kappa", "totally different words here now"]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    for nb in (3, 5):
+        got = dedup.minhash_lsh_near_dup(
+            ds, n=3, k=60, n_bands=nb, threshold=0.3
+        ).to_pandas()
+        pairs = set(zip(got.doc_a, got.doc_b))
+        # brute-force the signature-level truth with the same kernel
+        sh = [word_shingles(t, 3) for t in texts]
+        sig = minhash_signatures(sh, k=60, seed=7)
+        rpb = 60 // nb
+        want = set()
+        for i in range(6):
+            for j in range(i + 1, 6):
+                eq = sig[i] == sig[j]
+                est = eq.mean()
+                bands = eq[: nb * rpb].reshape(nb, rpb).all(axis=1)
+                if bands.any() and est >= 0.3:
+                    want.add((i, j))
+        assert pairs == want and len(want) > 0, (nb, pairs, want)
+
+
 def test_minhash_signature_determinism_and_self_similarity():
     sh = [word_shingles("a b c d e f g h i j k", 3),
           word_shingles("a b c d e f g h i j k", 3),

@@ -67,3 +67,31 @@ def test_asof_join_latest_matches_bruteforce():
                 assert pd.Timestamp(g) == pd.Timestamp(w.astype("datetime64[us]").item()), (strict, i)
     # the tie row: strict skips the equal-ts right, non-strict takes it
     assert len(got) == 400
+
+
+def test_asof_join_carries_nullable_int_columns():
+    """Round-3 regression: a carried left int column that itself holds
+    nulls must survive the dtype-restore (the plain astype(int64) raised
+    IntCastingNaNError); output schema stays int64 (nullable)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    left = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, None, 4], type=pa.int64()),
+        "k": ["a", "a", "b", "b"],
+        "ts": pa.array([
+            (base + np.timedelta64(i, "h")).astype("datetime64[us]").item()
+            for i in range(4)
+        ], type=pa.timestamp("us")),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": ["a", "b"],
+        "ts": pa.array([
+            base.astype("datetime64[us]").item(),
+            (base + np.timedelta64(1, "h")).astype("datetime64[us]").item(),
+        ], type=pa.timestamp("us")),
+    }))
+    out = asof_join_latest(left, right, key="k", ts_col="ts",
+                           strict=False, num_partitions=4)
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert tbl.schema.field("event_id").type == pa.int64()
+    df = tbl.to_pandas().sort_values("ts").reset_index(drop=True)
+    assert df["event_id"].isna().sum() == 1 and len(df) == 4
