@@ -1030,7 +1030,8 @@ def embedding_near_dup(
         batches.append(b)
     batches = [b for b in batches if b.num_rows]
     if not batches:
-        id_type = ds.schema().field(id_col).type
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
         return ds.map_batches(
             lambda b: _empty_pair_table("vec_a", "vec_b", id_type),
             batch_format="pyarrow",
@@ -1107,7 +1108,8 @@ def embedding_near_dup_incremental(
     if not nonempty:
         # an empty increment dedups to nothing — emit a typed empty
         # stream (concat_tables([]) / np.stack([]) would raise)
-        id_type = corpus_ds.schema().field(id_col).type
+        sch = corpus_ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
         return corpus_ds.map_batches(
             lambda b: _empty_pair_table("new_id", "corpus_id", id_type),
             batch_format="pyarrow",

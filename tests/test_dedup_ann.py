@@ -281,6 +281,43 @@ def test_minhash_non_power_of_two_band_count_loses_no_pairs():
         assert pairs == want and len(want) > 0, (nb, pairs, want)
 
 
+def test_embedding_incremental_empty_sides_and_stats_out():
+    rows = [{"vec_id": i, "embedding": [float(i), 1.0]} for i in range(8)]
+    ds = ray.data.from_items(rows)
+    none = ds.filter(lambda r: False)
+    # empty NEW side → empty typed result, no crash
+    out = dedup.embedding_near_dup_incremental(none, ds).to_pandas()
+    assert len(out) == 0
+    # empty corpus blocks (filter-produced) → no crash either
+    out2 = dedup.embedding_near_dup_incremental(ds, none).to_pandas()
+    assert len(out2) == 0
+    # minhash stats_out surfaces band-group counts
+    docs = ray.data.from_items([
+        {"doc_id": i, "text": "a b c d e f g h"} for i in range(4)
+    ])
+    stats: dict = {}
+    got = dedup.minhash_lsh_near_dup(docs, threshold=0.5, stats_out=stats).to_pandas()
+    assert len(got) == 6  # all 4 identical docs pair
+    assert stats["n_band_groups"] > 0 and stats["oversized_band_groups"] == 0
+
+
+def test_embedding_lsh_table_cap_warns_with_achieved_recall():
+    """Auto mode must WARN (not silently cap) when the recall target
+    needs more than 512 tables, and report target vs achieved."""
+    rng = np.random.default_rng(0)
+    rows = [{"vec_id": i, "embedding": list(map(float, rng.normal(size=4)))}
+            for i in range(6)]
+    ds = ray.data.from_items(rows)
+    stats: dict = {}
+    with pytest.warns(UserWarning, match="capped to 512"):
+        out = dedup.embedding_near_dup_lsh(
+            ds, threshold=0.4, n_bits=20, n_tables=None, stats_out=stats
+        )
+        out.materialize()
+    assert stats["n_tables"] == 512 and stats["n_tables_target"] > 512
+    assert 0.0 < stats["recall_at_threshold"] < 1.0
+
+
 def test_minhash_signature_determinism_and_self_similarity():
     sh = [word_shingles("a b c d e f g h i j k", 3),
           word_shingles("a b c d e f g h i j k", 3),
