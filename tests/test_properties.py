@@ -90,3 +90,42 @@ def test_soundex_shape(s):
         assert len(code) == 4
         assert code[0].isalpha() and code[0].isupper()
         assert all(c.isdigit() for c in code[1:])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=12))
+def test_md5_hash_basis_matches_scalar_reference(tokens):
+    """The vectorized md5 basis (unique-scatter path) must equal the
+    per-token scalar definition (lower 8 md5 digest bytes, little
+    endian — DuckDB's md5_number_lower) on arbitrary unicode input."""
+    import hashlib
+
+    from deezymatch_ray.functions.dedup import md5_lower64_batch
+
+    got = md5_lower64_batch(tokens)
+    want = [
+        int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+        for t in tokens
+    ]
+    assert [int(v) for v in got] == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.lists(TEXT, min_size=0, max_size=6), min_size=1, max_size=5))
+def test_md5_minhash_family_properties(shingle_lists):
+    """md5-basis MinHash invariants: deterministic, 32-bit-bounded
+    (the SQL UBIGINT-exactness contract), equal shingle SETS give equal
+    signatures, and empty docs take the all-max sentinel."""
+    from deezymatch_ray.functions.dedup import minhash_signatures
+
+    sig = minhash_signatures(shingle_lists, k=16, seed=7, basis="md5")
+    again = minhash_signatures(shingle_lists, k=16, seed=7, basis="md5")
+    assert (sig == again).all()
+    for i, sh in enumerate(shingle_lists):
+        if sh:
+            assert (sig[i] < (1 << 32)).all()
+            dup = minhash_signatures([list(dict.fromkeys(sh))], k=16,
+                                     seed=7, basis="md5")
+            assert (sig[i] == dup[0]).all()  # set semantics
+        else:
+            assert (sig[i] == np.iinfo(np.uint64).max).all()
