@@ -409,20 +409,20 @@ def jaccard_near_dup(
 
 
 def _band_group_stats(keyed: ray.data.Dataset, max_block: int,
-                      stats_out: dict) -> None:
-    """One count-aggregation over the exploded band keys: how many band
-    groups exist and how many exceed ``max_block`` (and are therefore
-    skipped by the verify stage). Diagnostic path — opt-in via
-    ``stats_out`` because it consumes the keyed dataset once more."""
+                      stats_out: dict, key_col: str = "band_key") -> None:
+    """One count-aggregation over the exploded band/segment keys: how
+    many groups exist and how many exceed ``max_block`` (and are
+    therefore skipped by the verify stage). Diagnostic path — opt-in
+    via ``stats_out`` because it consumes the keyed dataset once more."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        u, c = np.unique(batch["band_key"].to_numpy(), return_counts=True)
-        return pa.table({"band_key": pa.array(u), "cnt": pa.array(c)})
+        u, c = np.unique(batch[key_col].to_numpy(), return_counts=True)
+        return pa.table({key_col: pa.array(u), "cnt": pa.array(c)})
 
     sizes = (
         keyed.map_batches(partial, batch_format="pyarrow")
-        .groupby("band_key").aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby(key_col).aggregate(Sum("cnt", alias_name="cnt"))
     )
     stats_out["n_band_groups"] = int(sizes.count())
     stats_out["oversized_band_groups"] = int(
@@ -726,11 +726,16 @@ def simhash_near_dup(
     max_hamming: int = 3,
     max_block: int = 10_000,
     hash_basis: str = "siphash",
+    stats_out: dict | None = None,
 ) -> ray.data.Dataset:
     """Pairs (doc_a < doc_b, hamming) with SimHash Hamming ≤ r, found by
     (r+1)-segment band blocking (pigeonhole-complete) + exact verify.
     Blocking is exhaustive for Hamming ≤ r, so with ``hash_basis="md5"``
-    the output equals an all-pairs SQL mirror exactly at any scale."""
+    the output equals an all-pairs SQL mirror exactly at any scale —
+    below ``max_block``: segment groups past it are skipped (degenerate
+    near-constant fingerprints); pass ``stats_out`` for
+    ``n_band_groups`` / ``oversized_band_groups`` so skips are never
+    silent (same contract as the MinHash plans)."""
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
 
@@ -794,6 +799,8 @@ def simhash_near_dup(
         })
 
     keyed = ds.map_batches(explode, batch_format="pyarrow")
+    if stats_out is not None:
+        _band_group_stats(keyed, max_block, stats_out, key_col="seg_key")
     return keyed.groupby("seg_key").map_groups(block, batch_format="pandas")
 
 
