@@ -36,7 +36,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Min
 
@@ -497,8 +496,6 @@ def minhash_lsh_near_dup(
     count-aggregation and receive ``n_band_groups`` /
     ``oversized_band_groups`` so the skip is visible — the same
     contract as ``jaccard_near_dup`` / ``embedding_near_dup_lsh``."""
-    import functools
-
     keyed = ds.map_batches(
         _MinHashStage(text_col=text_col, id_col=id_col, n=n, k=k,
                       n_bands=n_bands, seed=seed, hash_basis=hash_basis),
