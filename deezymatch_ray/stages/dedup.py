@@ -1,6 +1,6 @@
 """Deduplication stages over a flat document table (id, text).
 
-Five dedup families a large-scale training-data pipeline needs, each a
+The dedup families a large-scale training-data pipeline needs, each a
 Ray Data plan (the reference has only per-ranker exact dedup,
 candidateRanker.py:483-492 — SURVEY §2.7 D1; everything else here is
 the engine's own scale surface):
@@ -18,17 +18,18 @@ the engine's own scale surface):
   signatures → banded LSH keys → per-band candidate pairs → signature-
   estimated Jaccard filter; pairs dedup via min-band emission.
 - ``simhash_fingerprints`` / ``simhash_near_dup``: 64-bit SimHash;
-  near-dup candidates from 8-bit band blocking (Hamming ≤ r pairs must
-  share one of r+1 bands when banded into r+1 segments — pigeonhole),
-  verified by exact Hamming distance.
+  near-dup candidates from (r+1)-segment band blocking (Hamming ≤ r
+  pairs must share one full segment — pigeonhole), verified by exact
+  Hamming distance.
 - ``embedding_near_dup``: exact cosine over an embedding column against
   a broadcast matrix (valid while one side fits in the object store;
   the blocked/IVF variant is `ann.py`).
-- ``exact_dedup_incremental`` / ``minhash_lsh_dedup_incremental``: the
-  new-vs-archive variants ("dedup today's crawl against the corpus"):
-  content-hash anti-join (only (id, md5, side) shuffles) and
-  cross-side-only banded LSH (new×new / corpus×corpus pairs are never
-  formed).
+- ``exact_dedup_incremental`` / ``minhash_lsh_dedup_incremental`` /
+  ``embedding_near_dup_incremental``: the new-vs-archive variants
+  ("dedup today's crawl against the corpus"): content-hash anti-join
+  (only (id, md5, side) shuffles), cross-side-only banded LSH (new×new
+  / corpus×corpus pairs are never formed), and a cosine join that
+  broadcasts the small NEW side while the archive streams.
 """
 
 from __future__ import annotations
