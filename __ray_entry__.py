@@ -524,7 +524,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_asof_purchase": (
             "SELECT l.event_id, l.user_id, l.ts, r.ts AS last_purchase_ts, "
-            "CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us "
+            "CAST(coalesce(epoch_us(l.ts) - epoch_us(r.ts), -1) AS BIGINT) AS gap_us "
             "FROM events l ASOF LEFT JOIN "
             "(SELECT user_id, ts FROM events WHERE event_type = 'purchase') r "
             "ON l.user_id = r.user_id AND r.ts < l.ts"

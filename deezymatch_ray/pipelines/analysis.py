@@ -456,7 +456,15 @@ def q_events_rolling(sf_dir: str) -> ray.data.Dataset:
 def q_events_asof_purchase(sf_dir: str) -> ray.data.Dataset:
     """AS-OF join: every event annotated with the same user's most
     recent strictly-prior purchase timestamp and the exact gap in
-    microseconds (stages/joins.asof_join_latest vs DuckDB ASOF JOIN)."""
+    microseconds (stages/joins.asof_join_latest vs DuckDB ASOF JOIN).
+
+    ``gap_us`` is NON-nullable by contract: -1 is the sentinel for "no
+    prior purchase" (the oracle SQL coalesces identically). A nullable
+    int renders as float64 through the driver's pandas fetch ("123.0")
+    while the engine emits Arrow int64 ("123"), so the value hash would
+    differ even when every value matches."""
+    import pyarrow.compute as _pc
+
     from deezymatch_ray.stages.joins import asof_join_latest
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
@@ -465,15 +473,13 @@ def q_events_asof_purchase(sf_dir: str) -> ray.data.Dataset:
     joined = asof_join_latest(left, right, key="user_id", ts_col="ts",
                               out_col="last_purchase_ts")
 
-    def gap(df: pd.DataFrame) -> pd.DataFrame:
-        lp = df["last_purchase_ts"].to_numpy()
-        ts = df["ts"].to_numpy()
-        gi = (ts - lp).astype("timedelta64[us]").view("int64")
-        out = df.copy()
-        out["gap_us"] = pd.arrays.IntegerArray(gi, np.isnat(lp))
-        return out
+    def gap(t: pa.Table) -> pa.Table:
+        g = _pc.cast(_pc.subtract(t["ts"], t["last_purchase_ts"]), pa.int64())
+        return t.append_column(
+            "gap_us", _pc.fill_null(g, pa.scalar(-1, pa.int64()))
+        )
 
-    return joined.map_batches(gap, batch_format="pandas")
+    return joined.map_batches(gap, batch_format="pyarrow")
 
 
 def q_media_features(sf_dir: str) -> ray.data.Dataset:

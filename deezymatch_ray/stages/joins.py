@@ -10,9 +10,17 @@ against DuckDB's native ``ASOF JOIN``.
 Physical plan: both sides union into one keyed stream (right projected
 to (key, ts), left columns null-padded on the right rows), hash-bucketed
 by key, and each key group resolves all its left rows with ONE sorted
-``searchsorted`` pass — no per-row loop, no window materialization. The
-shuffle carries each row exactly once; skewed keys are bounded by the
-bucket count like every other bucketized groupby in this repo.
+``searchsorted`` pass per key — no per-row loop, no window
+materialization. The shuffle carries each row exactly once; skewed keys
+are bounded by the bucket count like every other bucketized groupby in
+this repo.
+
+The resolve stage runs on **pyarrow** group blocks end-to-end: carried
+left columns are sliced out of the Arrow table with ``filter`` and never
+pass through pandas, so an int64 id column keeps full 64-bit precision
+(a pandas ``map_groups`` would widen null-padded int columns to float64
+during Arrow→pandas conversion and silently corrupt ids above 2**53 —
+casting back afterwards cannot restore the lost mantissa bits).
 
 Determinism note: only the matched right-side TIMESTAMP (and values
 derived from it) is emitted. Emitting arbitrary right-side payload
@@ -24,9 +32,15 @@ undefined beyond the timestamp on ties.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
+
+
+def _np_col(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Column → numpy, tolerating chunking and nulls (NaT for ts)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
 
 
 def asof_join_latest(
@@ -71,62 +85,50 @@ def asof_join_latest(
     )
 
     side = "left" if strict else "right"
+    nat = np.datetime64("NaT", "us")
 
-    # The null-padded right rows make pandas widen int columns to float64
-    # when the Arrow block converts for map_groups; carried left columns
-    # must be cast back to the LEFT schema's dtypes on emit or the output
-    # silently changes type (and corrupts int ids above 2**53).
-    pd_dtypes = (
-        pa.table({c: pa.array([], type=ltypes[c]) for c in lcols})
-        .to_pandas()
-        .dtypes.to_dict()
-    )
-
-    def _restore_dtypes(df: pd.DataFrame) -> pd.DataFrame:
-        bad = {}
-        for c in lcols:
-            if df[c].dtype == pd_dtypes[c]:
-                continue
-            want = pd_dtypes[c]
-            # a left column that itself contains nulls can't go back to
-            # a plain int dtype (IntCastingNaNError); use the pandas
-            # nullable Int<bits> — Arrow still emits the original int64/
-            # int32 type for it, so the output schema stays identical
-            if pd.api.types.is_integer_dtype(want) and df[c].isna().any():
-                kind = "UInt" if np.dtype(want).kind == "u" else "Int"
-                want = pd.api.types.pandas_dtype(
-                    f"{kind}{np.dtype(want).itemsize * 8}"
-                )
-            bad[c] = want
-        return df.astype(bad) if bad else df
-
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+    def resolve(t: pa.Table) -> pa.Table:
         """One hash bucket holds MANY keys: resolve per key (vectorized
-        searchsorted within each key's rows; Python cost is O(#keys))."""
-        lmask = df["__side"] == 1
-        l = df[lmask]
-        r = df[~lmask]
-        nat = np.datetime64("NaT", "us")
-        if len(l) == 0:
-            return _restore_dtypes(l.drop(columns="__side")).assign(
-                **{out_col: np.array([], dtype="datetime64[us]")}
+        searchsorted within each key's rows; Python cost is O(#keys)).
+        Pure-Arrow row selection — left payload columns keep their exact
+        dtypes and values (no pandas float64 round-trip)."""
+        sides = _np_col(t["__side"])
+        lmask = sides == 1
+        lt = t.filter(pa.array(lmask)).drop_columns(["__side"])
+        n_left = lt.num_rows
+        if n_left == 0:
+            return lt.append_column(
+                out_col, pa.array(np.array([], dtype="datetime64[us]"))
             )
-        rmap = {k: np.sort(g[ts_col].to_numpy()) for k, g in r.groupby(key, sort=False)}
-        parts = []
-        for k, g in l.groupby(key, sort=False):
-            rts = rmap.get(k)
-            lts = g[ts_col].to_numpy()
-            if rts is None or len(rts) == 0:
-                vals = np.full(len(g), nat)
-            else:
-                idx = np.searchsorted(rts, lts, side=side) - 1
-                vals = np.where(idx >= 0, rts[np.maximum(idx, 0)], nat)
-            parts.append(g.drop(columns="__side").assign(**{out_col: vals}))
-        return _restore_dtypes(pd.concat(parts, ignore_index=True))
+        keys_all = _np_col(t[key])
+        ts_all = _np_col(t[ts_col])
+        lkeys, lts = keys_all[lmask], ts_all[lmask]
+        rkeys, rts = keys_all[~lmask], ts_all[~lmask]
+        out = np.full(n_left, nat, dtype="datetime64[us]")
+        if len(rkeys):
+            ro = np.lexsort((rts, rkeys))
+            rkeys_s, rts_s = rkeys[ro], rts[ro]
+            lorder = np.argsort(lkeys, kind="stable")
+            lkeys_s, lts_s = lkeys[lorder], lts[lorder]
+            starts = np.flatnonzero(
+                np.r_[True, lkeys_s[1:] != lkeys_s[:-1]]
+            )
+            ends = np.r_[starts[1:], n_left]
+            for s, e in zip(starts, ends):
+                a = np.searchsorted(rkeys_s, lkeys_s[s], side="left")
+                b = np.searchsorted(rkeys_s, lkeys_s[s], side="right")
+                if a == b:
+                    continue
+                seg = rts_s[a:b]
+                idx = np.searchsorted(seg, lts_s[s:e], side=side) - 1
+                out[lorder[s:e]] = np.where(
+                    idx >= 0, seg[np.maximum(idx, 0)], nat
+                )
+        return lt.append_column(out_col, pa.array(out))
 
     return bucketize(unioned, [key], num_partitions).groupby(
         "__bucket"
     ).map_groups(
-        lambda df: resolve(df.drop(columns=["__bucket"])),
-        batch_format="pandas",
+        lambda t: resolve(t.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
     )

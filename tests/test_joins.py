@@ -69,6 +69,39 @@ def test_asof_join_latest_matches_bruteforce():
     assert len(got) == 400
 
 
+def test_asof_join_preserves_every_carried_dtype_and_big_ints():
+    """Round-4 regression (ADVICE r3 medium): the resolve stage runs on
+    pyarrow group blocks, so carried int64 payloads above 2**53 must
+    come back bit-exact — the old pandas map_groups widened them to
+    float64 (losing mantissa bits) before the dtype restore ran. Also
+    pins the dtype of EVERY carried column."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    big = 2**61 + 12345  # not representable in float64
+    left_tbl = pa.table({
+        "snowflake_id": pa.array([big, big + 1, big + 2], type=pa.int64()),
+        "small_i32": pa.array([7, 8, 9], type=pa.int32()),
+        "price": pa.array([1.5, 2.5, 3.5], type=pa.float64()),
+        "tag": pa.array(["x", "y", "z"]),
+        "k": ["a", "a", "b"],
+        "ts": pa.array([
+            (base + np.timedelta64(i + 1, "h")).astype("datetime64[us]").item()
+            for i in range(3)
+        ], type=pa.timestamp("us")),
+    })
+    right = ray.data.from_arrow(pa.table({
+        "k": ["a"],
+        "ts": pa.array([base.astype("datetime64[us]").item()],
+                       type=pa.timestamp("us")),
+    }))
+    out = asof_join_latest(ray.data.from_arrow(left_tbl), right,
+                           key="k", ts_col="ts", num_partitions=4)
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    for name in left_tbl.schema.names:
+        assert tbl.schema.field(name).type == left_tbl.schema.field(name).type, name
+    got = dict(zip(tbl["snowflake_id"].to_pylist(), tbl["tag"].to_pylist()))
+    assert got == {big: "x", big + 1: "y", big + 2: "z"}
+
+
 def test_asof_join_carries_nullable_int_columns():
     """Round-3 regression: a carried left int column that itself holds
     nulls must survive the dtype-restore (the plain astype(int64) raised
