@@ -23,12 +23,40 @@ import ray
 import ray.data
 
 
-def _to_matrix(col) -> np.ndarray:
+def _to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Vector column → [n, d] matrix without per-row Python.
+
+    ``fixed_size_list`` (and uniform-length ``list``) columns flatten to
+    one contiguous values buffer and reshape — a single C-level copy at
+    most (zero-copy until the dtype cast). Only ragged or null-bearing
+    list columns fall back to the per-row ``to_pylist`` path. This is
+    the hottest load in the ANN / embedding-dedup family (round-3
+    VERDICT #3)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    t = col.type
+    if col.null_count == 0:
+        d = 0
+        if pa.types.is_fixed_size_list(t):
+            d = t.list_size
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            if (lens == lens[0]).all():
+                d = int(lens[0])
+        if d:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(n, d).astype(dtype, copy=False)
     vals = col.to_pylist()
-    return (
-        np.stack([np.asarray(v, dtype=np.float32) for v in vals]).astype(np.float64)
-        if vals else np.empty((0, 0))
-    )
+    return np.stack([np.asarray(v, dtype=np.float32) for v in vals]).astype(dtype)
+
+
+def _np_col(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
 
 
 def _merge_topk(k: int):
@@ -66,7 +94,7 @@ def brute_force_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, qm, qnorm = ray.get(payload)
-        c_ids = np.asarray(batch[id_col].to_pylist())
+        c_ids = _np_col(batch[id_col])
         c = _to_matrix(batch[vec_col])
         if len(c_ids) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
@@ -111,7 +139,7 @@ def load_queries(
     )
     order = pc.sort_indices(tbl[id_col])
     tbl = tbl.take(order)
-    return np.asarray(tbl[id_col].to_pylist()), _to_matrix(tbl[vec_col])
+    return _np_col(tbl[id_col]), _to_matrix(tbl[vec_col])
 
 
 def ivf_topk(
@@ -160,7 +188,7 @@ def ivf_topk(
     def local_topk(batch: pa.Table) -> pa.Table:
         centroids = ray.get(cent_ref)
         q_ids, qm, qnorm, bq = ray.get(payload)
-        c_ids = np.asarray(batch[id_col].to_pylist())
+        c_ids = _np_col(batch[id_col])
         c = _to_matrix(batch[vec_col])
         out_q, out_c, out_s = [], [], []
         if len(c_ids):
@@ -242,7 +270,7 @@ def lsh_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, qm, qnorm, qss, qoo = ray.get(payload)
-        c_ids = np.asarray(batch[id_col].to_pylist())
+        c_ids = _np_col(batch[id_col])
         out_q, out_c, out_s = [], [], []
         if len(c_ids):
             c = _to_matrix(batch[vec_col])

@@ -408,6 +408,24 @@ def jaccard_near_dup(
     return cand.map_batches(finish, batch_format="pyarrow")
 
 
+def _warn_skipped_group(kind: str, key_name: str, key, m: int,
+                        max_block: int) -> None:
+    """Loud-by-default visibility for size-capped group skips (round-3
+    VERDICT #4): a degenerate key (boilerplate shingle/band) silently
+    losing its O(m²) pairs is a correctness trap for users who do not
+    pass ``stats_out``. Fires on the worker that hit the group; Ray
+    forwards worker warnings/stderr to the driver log."""
+    import warnings
+
+    warnings.warn(
+        f"{kind}: {key_name}={key!r} holds {m} rows > max_block="
+        f"{max_block}; its ~{m * (m - 1) // 2} candidate pairs are "
+        "SKIPPED. Pass stats_out= for a census of oversized groups, or "
+        "raise max_block if these pairs matter.",
+        stacklevel=2,
+    )
+
+
 def _band_group_stats(keyed: ray.data.Dataset, max_block: int,
                       stats_out: dict, key_col: str = "band_key") -> None:
     """One count-aggregation over the exploded band/segment keys: how
@@ -514,7 +532,11 @@ def minhash_lsh_near_dup(
         ~tens of MB even at max_block."""
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
         m = len(group)
-        if m < 2 or m > max_block:
+        if m < 2:
+            return empty
+        if m > max_block:
+            _warn_skipped_group("minhash_lsh_near_dup", "band_key",
+                                int(group["band_key"].iloc[0]), m, max_block)
             return empty
         bidx = (int(group["band_key"].iloc[0]) & ((1 << 64) - 1)) % n_bands
         order = np.argsort(group["id"].to_numpy(), kind="stable")
@@ -652,7 +674,11 @@ def minhash_lsh_dedup_incremental(
         equality tensor (≤ ~16 MB per slab at the default chunk size)."""
         empty = pd.DataFrame({"new_id": [], "corpus_id": [], "est_jaccard": []})
         m = len(group)
-        if m < 2 or m > max_block:
+        if m < 2:
+            return empty
+        if m > max_block:
+            _warn_skipped_group("minhash_dedup_incremental", "band_key",
+                                int(group["band_key"].iloc[0]), m, max_block)
             return empty
         bidx = (int(group["band_key"].iloc[0]) & ((1 << 64) - 1)) % n_bands
         side = group["side"].to_numpy()
@@ -765,7 +791,11 @@ def simhash_near_dup(
         full O(m²) triu index arrays."""
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
         m = len(group)
-        if m < 2 or m > max_block:
+        if m < 2:
+            return empty
+        if m > max_block:
+            _warn_skipped_group("simhash_near_dup", "seg_key",
+                                int(group["seg_key"].iloc[0]), m, max_block)
             return empty
         seg_idx = (int(group["seg_key"].iloc[0]) & ((1 << 64) - 1)) % n_seg
         order = np.argsort(group["id"].to_numpy(), kind="stable")
@@ -903,11 +933,20 @@ def embedding_near_dup_lsh(
     weights = 1 << np.arange(n_bits, dtype=np.int64)
 
     def explode(batch: pa.Table) -> pa.Table:
+        from deezymatch_ray.stages.ann import _to_matrix
+
         pl = ray.get(planes_ref)
         ids = batch[id_col]
         n = batch.num_rows
-        mat = np.stack([np.asarray(v, dtype=np.float32)
-                        for v in batch[vec_col].to_pylist()]).astype(np.float64)
+        if n == 0:  # filters upstream routinely emit empty blocks
+            return pa.table({
+                "bkey": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=ids.type),
+                "vec": pa.array(
+                    [], type=pa.list_(pa.float32(), d)
+                ),
+            })
+        mat = _to_matrix(batch[vec_col])
         bits = (mat @ pl.T) > 0
         sig = bits.reshape(n, n_tables, n_bits) @ weights  # [N, T]
         # int64 key fold pattern*n_tables + t (pattern < 2^n_bits, so no
@@ -946,10 +985,25 @@ def embedding_near_dup_lsh(
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
         out_a, out_b, out_s = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
+        for bk, g in df.groupby("bkey", sort=False):
             m = len(g)
             if m < 2:
                 continue
+            if m > max_block:
+                # never skipped (pairs would be lost) but no longer
+                # cheap either: a degenerate corpus (constant vectors)
+                # can put all n rows in one bucket per table, costing
+                # O(m²) exact cosine — be loud about it (r3 ADVICE)
+                import warnings
+
+                warnings.warn(
+                    f"embedding_near_dup_lsh: bucket {bk!r} holds {m} "
+                    f"rows > max_block={max_block}; verifying IN FULL "
+                    "(memory-bounded tiles, no pair loss) at O(m²) "
+                    "cosine cost. Raise n_bits/max_block or pre-dedup "
+                    "degenerate vectors if this recurs.",
+                    stacklevel=2,
+                )
             order = np.argsort(g["id"].to_numpy(), kind="stable")
             ids = g["id"].to_numpy()[order]
             mat = np.stack(g["vec"].to_numpy()[order]).astype(np.float64)
@@ -1042,18 +1096,21 @@ def embedding_near_dup(
             batch_format="pyarrow",
         )
     tbl = pa.concat_tables(batches)
-    ids = np.asarray(tbl[id_col].to_pylist())
-    mat = np.stack([np.asarray(v, dtype=np.float32) for v in tbl[vec_col].to_pylist()])
-    mat64 = mat.astype(np.float64)
+    from deezymatch_ray.stages.ann import _np_col, _to_matrix
+
+    ids = _np_col(tbl[id_col])
+    mat64 = _to_matrix(tbl[vec_col])
     norms = np.linalg.norm(mat64, axis=1)
     payload = _ray.put((ids, mat64, norms))
 
     def fn(batch: pa.Table) -> pa.Table:
         c_ids, c_mat, c_norms = _ray.get(payload)
-        q_ids = np.asarray(batch[id_col].to_pylist())
+        from deezymatch_ray.stages.ann import _np_col, _to_matrix
+
+        q_ids = _np_col(batch[id_col])
         if len(q_ids) == 0:  # filters upstream routinely emit empty blocks
             return _empty_pair_table("vec_a", "vec_b", batch[id_col].type)
-        q = np.stack([np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()]).astype(np.float64)
+        q = _to_matrix(batch[vec_col])
         qn = np.linalg.norm(q, axis=1)
         sims = (q @ c_mat.T) / np.maximum(qn[:, None] * c_norms[None, :], 1e-12)
         qi, ci = np.nonzero((sims >= threshold) & (q_ids[:, None] < c_ids[None, :]))
@@ -1119,22 +1176,22 @@ def embedding_near_dup_incremental(
             lambda b: _empty_pair_table("new_id", "corpus_id", id_type),
             batch_format="pyarrow",
         )
+    from deezymatch_ray.stages.ann import _np_col, _to_matrix
+
     tbl = pa.concat_tables(nonempty)
-    n_ids = np.asarray(tbl[id_col].to_pylist())
-    n_mat = np.stack(
-        [np.asarray(v, dtype=np.float32) for v in tbl[vec_col].to_pylist()]
-    ).astype(np.float64)
+    n_ids = _np_col(tbl[id_col])
+    n_mat = _to_matrix(tbl[vec_col])
     n_norms = np.linalg.norm(n_mat, axis=1)
     payload = _ray.put((n_ids, n_mat, n_norms))
 
     def fn(batch: pa.Table) -> pa.Table:
         q_ids, q_mat, q_norms = _ray.get(payload)
-        c_ids = np.asarray(batch[id_col].to_pylist())
+        from deezymatch_ray.stages.ann import _np_col, _to_matrix
+
+        c_ids = _np_col(batch[id_col])
         if len(c_ids) == 0:  # filters upstream routinely emit empty blocks
             return _empty_pair_table("new_id", "corpus_id", batch[id_col].type)
-        c = np.stack(
-            [np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()]
-        ).astype(np.float64)
+        c = _to_matrix(batch[vec_col])
         cn = np.linalg.norm(c, axis=1)
         sims = (q_mat @ c.T) / np.maximum(q_norms[:, None] * cn[None, :], 1e-12)
         qi, ci = np.nonzero(sims >= threshold)

@@ -117,15 +117,25 @@ def prepare_side(
     )
 
 
-def _stable_bucket(keys, num_buckets: int) -> np.ndarray:
-    """Process-stable hash buckets (crc32 — Python hash() is salted per
-    process, which would scatter one key across buckets)."""
-    import zlib
+_FNV_PRIME = np.uint64(0x100000001B3)
 
-    return np.fromiter(
-        (zlib.crc32(str(k).encode("utf-8")) % num_buckets for k in keys),
-        dtype=np.int64, count=len(keys),
-    )
+
+def _stable_bucket(batch: pa.Table, key_cols: list[str],
+                   num_buckets: int) -> np.ndarray:
+    """Process-stable hash buckets, fully vectorized: pandas' siphash
+    per column (fixed key — deterministic across processes, unlike the
+    per-process-salted Python ``hash()``), FNV-combined across columns
+    in fixed order. Same construction as the content hash in
+    ``state/checkpoint._hash_columns``; replaces the round-3 per-row
+    ``zlib.crc32(str(k))`` generator that fronted every shuffle."""
+    acc = None
+    with np.errstate(over="ignore"):
+        for c in key_cols:
+            h = pd.util.hash_pandas_object(
+                batch[c].to_pandas(), index=False
+            ).to_numpy().astype(np.uint64, copy=False)
+            acc = h if acc is None else (acc ^ h) * _FNV_PRIME
+    return (acc % np.uint64(num_buckets)).astype(np.int64)
 
 
 def bucketize(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int,
@@ -140,12 +150,9 @@ def bucketize(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int,
     UDF processes a whole bucket of groups vectorized."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        if len(key_cols) == 1:
-            keys = batch[key_cols[0]].to_pylist()
-        else:
-            cols = [batch[c].to_pylist() for c in key_cols]
-            keys = ["\x1f".join(str(v) for v in row) for row in zip(*cols)]
-        return batch.append_column(col, pa.array(_stable_bucket(keys, num_buckets)))
+        return batch.append_column(
+            col, pa.array(_stable_bucket(batch, key_cols, num_buckets))
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -301,6 +301,27 @@ def test_embedding_incremental_empty_sides_and_stats_out():
     assert stats["n_band_groups"] > 0 and stats["oversized_band_groups"] == 0
 
 
+def test_oversized_band_group_warns_and_skips():
+    """Round-4 (r3 VERDICT #4): band groups past max_block must not be
+    lost silently. The warn helper fires a UserWarning (it runs on the
+    worker that hits the group, so the unit assertion targets the
+    helper directly), and a constructed hot band — identical docs, so
+    every band group exceeds max_block — is skipped AND visible via
+    stats_out without opting in to anything else."""
+    with pytest.warns(UserWarning, match="SKIPPED"):
+        dedup._warn_skipped_group("minhash_lsh_near_dup", "band_key",
+                                  7, 123, 100)
+    docs = ray.data.from_items([
+        {"doc_id": i, "text": "x y z w v u t s"} for i in range(12)
+    ])
+    stats: dict = {}
+    got = dedup.minhash_lsh_near_dup(
+        docs, threshold=0.5, max_block=8, stats_out=stats
+    ).to_pandas()
+    assert len(got) == 0
+    assert stats["oversized_band_groups"] > 0
+
+
 def test_embedding_lsh_table_cap_warns_with_achieved_recall():
     """Auto mode must WARN (not silently cap) when the recall target
     needs more than 512 tables, and report target vs achieved."""
