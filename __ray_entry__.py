@@ -84,7 +84,26 @@ def _q_rank_part_names(sf_dir: str) -> Any:
     queries = parts.filter(expr="p_partkey < 30").map_batches(
         to_str_ids, batch_format="pyarrow"
     )
-    return rank_global(queries, cands, cfg, weights_ref, vocab_ref, meta)
+    ranked = rank_global(queries, cands, cfg, weights_ref, vocab_ref, meta)
+    # This is the one no-SQL-oracle query (GRU model scores), so the
+    # driver check is strengthened in-query: materialize (≤ 30×5 rows)
+    # and assert the reference ranker's structural invariants before
+    # returning (r3 VERDICT #6).
+    df = ranked.to_pandas()
+    sizes = df.groupby("query_id").size()
+    assert (sizes <= cfg.ranking.num_candidates).all(), "per-query rows > k"
+    ranks_ok = (
+        df.sort_values(["query_id", "rank"])
+        .groupby("query_id")["rank"]
+        .apply(lambda r: list(r) == list(range(1, len(r) + 1)))
+    )
+    assert ranks_ok.all(), "ranks not dense from 1"
+    top = df[df["rank"] == 1]
+    assert set(top["query_id"]) == set(df["query_id"]), "query missing rank 1"
+    # every query string is itself a candidate, so the rank-1 match is
+    # the zero-distance self-match fixpoint
+    assert (top["faiss_dist"] <= 1e-6).all(), "rank-1 not the self-match"
+    return df
 
 
 def _q_link_clusters(sf_dir: str) -> Any:

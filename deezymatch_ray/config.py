@@ -117,6 +117,9 @@ class RankingConfig:
     # the reference-parity mode that ALSO collapses duplicate candidate
     # SPELLINGS to the lowest-metric row (candidateRanker.py:483-492
     # dedups on s2_orig, so two ids sharing one name yield one row).
+    # Parity is exact for ranking_metric="faiss" only: the reference
+    # keeps the first duplicate in faiss-walk L2 order, which matches
+    # keep-lowest-(metric, id) only when the metric IS faiss L2.
     dedup_on: str = "candidate_id"  # candidate_id | candidate_string
 
 
@@ -134,7 +137,10 @@ class ExecutionConfig:
     # hash-bucket count for fine-keyed groupbys (block keys, query ids,
     # pair dedup): bounds map_groups invocations and sets shuffle width
     shuffle_partitions: int = 64
-    cluster_driver_edge_limit: int = 2_000_000  # below this, union-find on driver
+    # union-find on the driver only when BOTH edge and node counts fit
+    # under this (a huge corpus with few duplicate edges must still
+    # cluster distributed — the driver path take_all()s every node id)
+    cluster_driver_edge_limit: int = 2_000_000
     cluster_max_rounds: int = 50
     # partitions for the resumable (checkpointed) embedding stage
     checkpoint_partitions: int = 16

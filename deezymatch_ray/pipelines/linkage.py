@@ -315,8 +315,14 @@ def cluster_near_dup_documents(
         edges = j2.map_batches(verify, batch_format="pyarrow").materialize()
     nodes = docs.select_columns([id_col])
     n_edges = edges.count()
+    # gate on NODES too (round-3 VERDICT #5): a 10-billion-doc corpus
+    # with few duplicate edges must not take_all() every doc id onto
+    # the driver just because the edge set is tiny
+    n_nodes = nodes.count()
     use_distributed = (
-        distributed_cc if distributed_cc is not None else n_edges > driver_edge_limit
+        distributed_cc
+        if distributed_cc is not None
+        else max(n_edges, n_nodes) > driver_edge_limit
     )
     if use_distributed:
         str_edges = edges.map_batches(
@@ -441,10 +447,13 @@ def link_documents(
     # the whole embed+block+score chain
     edges = edges.materialize()
     n_edges = edges.count()
+    # gate on NODES too (round-3 VERDICT #5); docs is 1:1 with nodes and
+    # counting it avoids re-running the join-text map over jt
+    n_nodes = docs.count()
     use_distributed = (
         distributed_cc
         if distributed_cc is not None
-        else n_edges > cfg.execution.cluster_driver_edge_limit
+        else max(n_edges, n_nodes) > cfg.execution.cluster_driver_edge_limit
     )
     if use_distributed:
         return connected_components_distributed(

@@ -107,57 +107,78 @@ def connected_components_distributed(
     labels = labels.map_batches(init_label, batch_format="pyarrow").materialize()
     directed = directed.materialize()
 
-    for _ in range(max_rounds):
-        # push each node's label to its neighbors, take per-node min
+    # Adaptive join width. Ray's hash join misbehaves when partitions
+    # receive (near-)zero rows — Acero rejects the column-less empty
+    # tables ("No match or multiple matches for key field") and very
+    # wide joins on small clusters can stall aggregator scheduling —
+    # so size partitions to ≥~4k expected rows each, ≤ cluster CPUs,
+    # with 1 partition for small graphs (verified: a 1-edge graph fails
+    # at 4+ partitions and hangs at 32 on a 4-CPU cluster).
+    n_lab = labels.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8)) or 8
+    P = max(1, min(num_partitions, cpus, -(-n_lab // 4096)))
+
+    changed = 0
+    converged = n_lab == 0  # no edges → no labels to propagate
+    for _ in range(max_rounds if n_lab else 0):
+        # push each node's label to its neighbors, take per-node min;
+        # each node's OLD label rides along (non-null only on the self
+        # row, exactly one per node) so the fixpoint check needs no
+        # third join — Min(old) recovers it through the aggregation
         joined = directed.join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("node",),
+            labels, join_type="inner", num_partitions=P, on=("node",),
         )
 
         def msg(batch: pa.Table) -> pa.Table:
-            return pa.table({"node": batch["nbr"], "cand": batch["label"]})
+            return pa.table({
+                "node": batch["nbr"],
+                "cand": batch["label"],
+                "old": pa.nulls(batch.num_rows, pa.string()),
+            })
 
         cands = joined.map_batches(msg, batch_format="pyarrow").union(
             labels.map_batches(
-                lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
+                lambda b: pa.table({"node": b["node"], "cand": b["label"],
+                                    "old": b["label"]}),
                 batch_format="pyarrow",
             )
         )
-        new_labels = cands.groupby("node").aggregate(Min("cand", alias_name="label"))
+        agg = cands.groupby("node").aggregate(
+            Min("cand", alias_name="label"),
+            Min("old", alias_name="old"),
+        ).materialize()  # consumed twice below (relabel + join left side)
         # pointer doubling: follow label → label(label) (labels are node
         # ids, so every label resolves). Each round halves the remaining
         # chain to the component minimum — convergence in O(log diameter)
         # rounds instead of O(diameter)
-        relabel = new_labels.map_batches(
+        relabel = agg.map_batches(
             lambda b: pa.table({"lnode": b["node"], "llabel": b["label"]}),
             batch_format="pyarrow",
         )
-        new_labels = new_labels.join(
-            relabel, join_type="inner", num_partitions=num_partitions,
+        doubled = agg.join(
+            relabel, join_type="inner", num_partitions=P,
             on=("label",), right_on=("lnode",),
-        ).map_batches(
+        ).materialize()
+
+        def count_changed(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            neq = pc.invert(pc.equal(b["llabel"], b["old"]))
+            return pa.table({"changed": pa.array(
+                [int(pc.sum(neq).as_py() or 0)], type=pa.int64()
+            )})
+
+        changed = doubled.map_batches(
+            count_changed, batch_format="pyarrow"
+        ).sum("changed") or 0
+        labels = doubled.map_batches(
             lambda b: pa.table({"node": b["node"], "label": b["llabel"]}),
             batch_format="pyarrow",
         )
-        new_labels = new_labels.materialize()
-        # fixpoint check: has any label changed?
-        cmp = labels.join(
-            new_labels, join_type="inner", num_partitions=num_partitions,
-            on=("node",), right_suffix="_new",
-        )
-        changed = cmp.map_batches(
-            lambda b: pa.table({
-                "changed": pa.array(
-                    [int(x != y) for x, y in zip(b["label"].to_pylist(), b["label_new"].to_pylist())],
-                    type=pa.int64(),
-                )
-            }),
-            batch_format="pyarrow",
-        ).sum("changed")
-        labels = new_labels
         if not changed:
+            converged = True
             break
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} rounds "
             f"({changed} labels still changing) — the output would silently "

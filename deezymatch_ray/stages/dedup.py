@@ -53,11 +53,46 @@ from deezymatch_ray.functions.dedup import (
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """(text, doc_id=min id among exact duplicates). One shuffle."""
-    return (
+    """(text, doc_id=min id among exact duplicates). One shuffle.
+
+    The groupby keys on a 128-bit content hash (two independent
+    vectorized siphashes as int64 columns — collision odds m²/2¹²⁹,
+    the same argument as ``_shingle_hashes``) instead of the raw text,
+    after a block-local keep-min-id partial dedup: the shuffle carries
+    ONE exemplar text per distinct content per block rather than every
+    duplicate's full body (r3 VERDICT #8). ``Min(text)`` over a group
+    is exact because rows in a (h1, h2) group share identical text."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        id_type = b.schema.field(id_col).type
+        if b.num_rows == 0:
+            return pa.table({
+                "__h1": pa.array([], type=pa.int64()),
+                "__h2": pa.array([], type=pa.int64()),
+                text_col: pa.array([], type=pa.string()),
+                id_col: pa.array([], type=id_type),
+            })
+        df = b.select([id_col, text_col]).to_pandas()
+        g = df.groupby(text_col, sort=False)[id_col].min().reset_index()
+        arr = g[text_col].to_numpy(dtype=object)
+        h1 = pd.util.hash_array(arr, hash_key="0123456789123456")
+        h2 = pd.util.hash_array(arr, hash_key="fedcba9876543210")
+        return pa.table({
+            "__h1": pa.array(h1.view(np.int64)),
+            "__h2": pa.array(h2.view(np.int64)),
+            text_col: pa.array(g[text_col], type=pa.string()),
+            id_col: pa.array(g[id_col], type=id_type),
+        })
+
+    deduped = (
         ds.select_columns([id_col, text_col])
-        .groupby(text_col)
-        .aggregate(Min(id_col, alias_name=id_col))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["__h1", "__h2"])
+        .aggregate(Min(text_col, alias_name=text_col),
+                   Min(id_col, alias_name=id_col))
+    )
+    return deduped.map_batches(
+        lambda b: b.drop_columns(["__h1", "__h2"]), batch_format="pyarrow"
     )
 
 

@@ -37,8 +37,11 @@ claims above are scoped by these):
    keep a row. Deterministic ids are the primary key of a distributed
    result; collapsing by display string would make output depend on id
    order. Opt-in reference parity: ``ranking.dedup_on =
-   "candidate_string"`` collapses spellings keep-lowest-(metric, id)
-   exactly like the reference (see ``select_bucket``).
+   "candidate_string"`` collapses spellings keep-lowest-(metric, id) —
+   exact parity for ``ranking_metric="faiss"`` only (the reference
+   keeps the first duplicate in faiss-walk L2 order,
+   candidateRanker.py:483-492; under ``cosine``/``conf`` our
+   keep-lowest-metric row can differ, consistent with deviation 2).
 2. ``cosine``/``conf`` metrics: the reference walks faiss L2-ordered
    windows and breaks on a *cosine/conf* threshold (:406-476) — the
    break is non-monotone in the walk order, and ``conf`` stops once
@@ -595,7 +598,13 @@ def rank_global(
 
     Refuses LOUDLY past ``broadcast_limit`` candidate rows — the
     driver-side concat + broadcast would OOM long before producing
-    wrong results; ``rank_blocked`` is the no-broadcast scale path."""
+    wrong results; ``rank_blocked`` is the no-broadcast scale path.
+
+    NOTE (behavior since round 3): the default limit is 2,000,000 rows.
+    Callers whose candidate sets exceed it but fit in the object store
+    can raise ``broadcast_limit`` explicitly — the guard is a default,
+    not a hard cap (same contract as ``embedding_near_dup`` /
+    ``embedding_near_dup_incremental``)."""
     c = prepare_side(candidates, cfg, weights_ref, vocab_ref, meta, cand_id, cand_text)
     # global mode materializes the candidate payload ONCE on the driver and
     # broadcasts it (ray.put) — valid while candidates fit in the object

@@ -50,6 +50,39 @@ def test_long_chain_converges_in_log_rounds():
     assert len(got) == n
 
 
+def test_many_nodes_few_edges_takes_distributed_path(monkeypatch):
+    """Round-4 (r3 VERDICT #5): the driver CC path is gated on
+    max(n_edges, n_nodes) — a corpus whose NODE count exceeds the limit
+    must cluster distributed even when the edge set is tiny (the driver
+    path take_all()s every node id). The driver union-find is
+    monkeypatched to raise, so a correct result proves the distributed
+    path ran; singletons must still all be emitted."""
+    from deezymatch_ray.pipelines import linkage
+
+    monkeypatch.setattr(
+        linkage, "connected_components_driver",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver CC path used despite node count > limit")
+        ),
+    )
+    n = 30
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([f"d{i:03d}" for i in range(n)]),
+        # docs 0 and 1 are identical long texts → the single edge
+        "text": pa.array(["the quick brown fox jumps over the lazy dog"] * 2
+                         + [f"unique document body number {i} with words "
+                            f"{i * 7} {i * 13} {i * 29}" for i in range(2, n)]),
+    }))
+    got = linkage.cluster_near_dup_documents(
+        docs, jaccard_threshold=0.5, driver_edge_limit=10,
+    ).to_pandas()
+    assert len(got) == n
+    m = dict(zip(got.doc_id, got.cluster_id))
+    assert m["d000"] == m["d001"]
+    # every other doc is its own singleton cluster
+    assert len(set(m.values())) == n - 1
+
+
 def test_non_convergence_raises_instead_of_splitting():
     n = 64
     ids = [f"c{i:04d}" for i in range(n)]
