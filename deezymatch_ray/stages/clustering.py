@@ -80,6 +80,16 @@ def connected_components_distributed(
 
     edges: Dataset with string columns (src, dst). nodes (optional):
     Dataset with column doc_id covering isolated documents.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    the per-round node-keyed exchanges are uniform (node ids hash
+    evenly), but the pointer-doubling join keys on the LABEL, whose
+    distribution concentrates as components converge — a single
+    X-member component places X rows in one hash partition. Duplicate
+    clusters in dedup workloads are small (bounded by near-dup group
+    sizes), so this is fine there; for graphs with one giant component
+    approaching the full node count, prefer the driver union-find when
+    it fits, or raise num_partitions so the non-hot keys spread.
     """
 
     def to_directed(batch: pa.Table) -> pa.Table:
