@@ -374,7 +374,13 @@ def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def keyed(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        # keep microsecond precision: floor_temporal narrows to
+        # timestamp[s]; DuckDB's date_trunc stays timestamp[us]. Values
+        # are identical either way, but matching the unit keeps the
+        # schema bit-identical to the oracle's pandas rendering.
+        hour = pc.floor_temporal(batch["ts"], unit="hour").cast(
+            pa.timestamp("us")
+        )
         return pa.table({
             "event_type": batch["event_type"], "hour": hour, "value": batch["value"],
         })
@@ -393,7 +399,10 @@ def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
     def final(batch: pa.Table) -> pa.Table:
         return pa.table({
             "event_type": batch["event_type"],
-            "hour": batch["hour"],
+            # Ray's aggregate re-infers the key as timestamp[s] (the
+            # floor_temporal unit); cast AFTER it so the emitted schema
+            # matches the oracle's timestamp[us] rendering bit-for-bit
+            "hour": batch["hour"].cast(pa.timestamp("us")),
             "n": batch["n"],
             "sum_value": _round_col(batch["sum_value"], 2),
             "min_value": batch["min_value"],
