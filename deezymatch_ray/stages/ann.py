@@ -31,7 +31,12 @@ def _to_matrix(col, dtype=np.float64) -> np.ndarray:
     most (zero-copy until the dtype cast). Only ragged or null-bearing
     list columns fall back to the per-row ``to_pylist`` path. This is
     the hottest load in the ANN / embedding-dedup family (round-3
-    VERDICT #3)."""
+    VERDICT #3).
+
+    Both paths score at the requested ``dtype``'s native precision —
+    the fallback previously truncated through float32, so the same
+    logical vectors could land threshold-adjacent pairs differently
+    depending on physical layout (r4 ADVICE)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
@@ -50,7 +55,12 @@ def _to_matrix(col, dtype=np.float64) -> np.ndarray:
             flat = col.flatten().to_numpy(zero_copy_only=False)
             return flat.reshape(n, d).astype(dtype, copy=False)
     vals = col.to_pylist()
-    return np.stack([np.asarray(v, dtype=np.float32) for v in vals]).astype(dtype)
+    dim = next((len(v) for v in vals if v is not None), 0)
+    out = np.full((n, dim), np.nan, dtype=dtype)
+    for i, v in enumerate(vals):
+        if v is not None:
+            out[i, :] = np.asarray(v, dtype=dtype)  # raises on ragged rows
+    return out
 
 
 def _np_col(col) -> np.ndarray:

@@ -73,14 +73,22 @@ def exact_dedup(
                 id_col: pa.array([], type=id_type),
             })
         df = b.select([id_col, text_col]).to_pandas()
-        g = df.groupby(text_col, sort=False)[id_col].min().reset_index()
+        # dropna=False: null texts form a group like any other value
+        # (one surviving row, min id) instead of silently vanishing;
+        # hash_array maps None and NaN to the same digest, so the null
+        # group's (h1, h2) is stable across blocks.
+        g = (
+            df.groupby(text_col, sort=False, dropna=False)[id_col]
+            .min().reset_index()
+        )
         arr = g[text_col].to_numpy(dtype=object)
         h1 = pd.util.hash_array(arr, hash_key="0123456789123456")
         h2 = pd.util.hash_array(arr, hash_key="fedcba9876543210")
         return pa.table({
             "__h1": pa.array(h1.view(np.int64)),
             "__h2": pa.array(h2.view(np.int64)),
-            text_col: pa.array(g[text_col], type=pa.string()),
+            text_col: pa.array(g[text_col], type=pa.string(),
+                               from_pandas=True),
             id_col: pa.array(g[id_col], type=id_type),
         })
 

@@ -91,7 +91,13 @@ def asof_join_latest(
         """One hash bucket holds MANY keys: resolve per key (vectorized
         searchsorted within each key's rows; Python cost is O(#keys)).
         Pure-Arrow row selection — left payload columns keep their exact
-        dtypes and values (no pandas float64 round-trip)."""
+        dtypes and values (no pandas float64 round-trip). Null-key or
+        null-timestamp left rows are emitted with NaT (a None key can't
+        equal any right key; left-join semantics keep the row); null
+        right rows are excluded before the sort — object arrays holding
+        None would otherwise make lexsort/argsort raise."""
+        import pyarrow.compute as pc
+
         sides = _np_col(t["__side"])
         lmask = sides == 1
         lt = t.filter(pa.array(lmask)).drop_columns(["__side"])
@@ -100,20 +106,27 @@ def asof_join_latest(
             return lt.append_column(
                 out_col, pa.array(np.array([], dtype="datetime64[us]"))
             )
+        nulls_all = pc.fill_null(
+            pc.or_(pc.is_null(t[key]), pc.is_null(t[ts_col])), True
+        ).to_numpy(zero_copy_only=False)
         keys_all = _np_col(t[key])
         ts_all = _np_col(t[ts_col])
         lkeys, lts = keys_all[lmask], ts_all[lmask]
-        rkeys, rts = keys_all[~lmask], ts_all[~lmask]
+        lnull = nulls_all[lmask]
+        rkeep = ~lmask & ~nulls_all
+        rkeys, rts = keys_all[rkeep], ts_all[rkeep]
         out = np.full(n_left, nat, dtype="datetime64[us]")
-        if len(rkeys):
+        lvalid = np.flatnonzero(~lnull)
+        if len(rkeys) and len(lvalid):
             ro = np.lexsort((rts, rkeys))
             rkeys_s, rts_s = rkeys[ro], rts[ro]
-            lorder = np.argsort(lkeys, kind="stable")
+            lorder = lvalid[np.argsort(lkeys[lvalid], kind="stable")]
             lkeys_s, lts_s = lkeys[lorder], lts[lorder]
+            n_valid = len(lorder)
             starts = np.flatnonzero(
                 np.r_[True, lkeys_s[1:] != lkeys_s[:-1]]
             )
-            ends = np.r_[starts[1:], n_left]
+            ends = np.r_[starts[1:], n_valid]
             for s, e in zip(starts, ends):
                 a = np.searchsorted(rkeys_s, lkeys_s[s], side="left")
                 b = np.searchsorted(rkeys_s, lkeys_s[s], side="right")

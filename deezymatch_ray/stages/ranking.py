@@ -123,37 +123,69 @@ def prepare_side(
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def _hash_col_u64(col) -> np.ndarray:
-    """Vectorized per-row uint64 hash of one Arrow column, no Python
-    objects in the loop. polars' xxhash runs directly on the Arrow
-    buffers (zero-copy; ~3× faster than pandas' object-path siphash on
-    strings, ~100× on ints) and is deterministic for a fixed seed
-    across processes of the same polars version — all Ray workers in a
-    cluster share one environment, and bucket assignment only needs
-    within-run stability. Falls back to pandas' fixed-key siphash if
-    polars is unavailable."""
+def _resolve_hash_backend() -> tuple[str, str | None]:
+    """Decide the bucket-hash backend ONCE (on the driver, at bucketize
+    call time) and ship the decision through the UDF closure. Deciding
+    per worker would let a heterogeneous cluster (polars on some nodes,
+    or mixed polars versions — ``pl.hash`` is only stable within one
+    version) silently send identical keys to different buckets, losing
+    cross-bucket matches in every bucketized groupby. Workers verify
+    the shipped decision and fail loudly on mismatch instead."""
     try:
         import polars as pl
 
-        return pl.from_arrow(col).hash(seed=0).to_numpy()
+        return ("polars", pl.__version__)
     except ImportError:
-        return pd.util.hash_pandas_object(
-            col.to_pandas(), index=False
-        ).to_numpy().astype(np.uint64, copy=False)
+        return ("pandas", None)
+
+
+def _hash_col_u64(col, backend: tuple[str, str | None]) -> np.ndarray:
+    """Vectorized per-row uint64 hash of one Arrow column, no Python
+    objects in the loop. polars' xxhash runs directly on the Arrow
+    buffers (zero-copy; ~3× faster than pandas' object-path siphash on
+    strings, ~100× on ints); ``backend`` is the driver's resolved
+    (name, version) — see ``_resolve_hash_backend``. Falls back to
+    pandas' fixed-key siphash when the driver had no polars."""
+    name, want_version = backend
+    if name == "polars":
+        try:
+            import polars as pl
+        except ImportError:
+            raise RuntimeError(
+                "bucketize hash backend mismatch: driver resolved polars "
+                f"{want_version} but this worker has no polars — "
+                "heterogeneous environments would silently split hash "
+                "buckets; install polars on every node or force the "
+                "pandas backend"
+            ) from None
+        if pl.__version__ != want_version:
+            raise RuntimeError(
+                "bucketize hash backend mismatch: driver polars "
+                f"{want_version} vs worker polars {pl.__version__} — "
+                "pl.hash is only stable within one version; a mixed-"
+                "version cluster would silently split hash buckets"
+            )
+        return pl.from_arrow(col).hash(seed=0).to_numpy()
+    return pd.util.hash_pandas_object(
+        col.to_pandas(), index=False
+    ).to_numpy().astype(np.uint64, copy=False)
 
 
 def _stable_bucket(batch: pa.Table, key_cols: list[str],
-                   num_buckets: int) -> np.ndarray:
+                   num_buckets: int,
+                   backend: tuple[str, str | None] | None = None) -> np.ndarray:
     """Process-stable hash buckets, fully vectorized (unlike the
     per-process-salted Python ``hash()``): one 64-bit column hash per
     key column, FNV-combined across columns in fixed order — the same
     construction as the content hash in ``state/checkpoint``. Replaces
     the round-3 per-row ``zlib.crc32(str(k))`` generator that fronted
     every shuffle."""
+    if backend is None:
+        backend = _resolve_hash_backend()
     acc = None
     with np.errstate(over="ignore"):
         for c in key_cols:
-            h = _hash_col_u64(batch[c])
+            h = _hash_col_u64(batch[c], backend)
             acc = h if acc is None else (acc ^ h) * _FNV_PRIME
     return (acc % np.uint64(num_buckets)).astype(np.int64)
 
@@ -168,10 +200,12 @@ def bucketize(ds: ray.data.Dataset, key_cols: list[str], num_buckets: int,
     scheduling/pandas overhead that dwarfs the math. Grouping on
     ``hash(key) % num_buckets`` keeps each key's rows together while the
     UDF processes a whole bucket of groups vectorized."""
+    backend = _resolve_hash_backend()  # driver-side; shipped in closure
 
     def fn(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            col, pa.array(_stable_bucket(batch, key_cols, num_buckets))
+            col,
+            pa.array(_stable_bucket(batch, key_cols, num_buckets, backend)),
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")

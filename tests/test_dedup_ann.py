@@ -502,3 +502,40 @@ def test_ivf_topk_recall_vs_exact():
     e = set(zip(exact.query_id, exact.candidate_id))
     a = set(zip(approx.query_id, approx.candidate_id))
     assert e == a
+
+
+def test_exact_dedup_keeps_null_text_rows():
+    """r4 ADVICE (medium): null texts must form a group (one surviving
+    row, min id), not silently vanish through pandas' dropna default."""
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 9, 1, 7], type=pa.int64()),
+        "text": pa.array(["a", None, "a", None, "b"]),
+    })).repartition(3)  # nulls split across blocks → shuffle must merge them
+    got = dedup.exact_dedup(ds).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 3
+    null_rows = got[got["text"].isna()]
+    assert len(null_rows) == 1 and null_rows["doc_id"].iloc[0] == 1
+    assert got[got["text"] == "a"]["doc_id"].iloc[0] == 5
+    assert got[got["text"] == "b"]["doc_id"].iloc[0] == 7
+
+
+def test_to_matrix_precision_identical_across_layouts():
+    """r4 ADVICE (low): the same float64 vectors must produce the same
+    matrix whether they arrive fixed_size_list (fast path) or as a
+    null-bearing list column (fallback) — no float32 truncation on one
+    side only. Null rows come back as NaN rows at the right width."""
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((4, 3))  # float64, not float32-representable
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(data.ravel(), type=pa.float64()), 3
+    )
+    lst_with_null = pa.array(
+        [list(r) for r in data[:2]] + [None] + [list(r) for r in data[2:]],
+        type=pa.list_(pa.float64()),
+    )
+    fast = ann._to_matrix(fsl, dtype=np.float64)
+    slow = ann._to_matrix(lst_with_null, dtype=np.float64)
+    np.testing.assert_array_equal(fast, data)  # bit-exact, native precision
+    np.testing.assert_array_equal(slow[[0, 1, 3, 4]], data)
+    assert np.isnan(slow[2]).all() and slow.shape == (5, 3)

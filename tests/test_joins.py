@@ -128,3 +128,31 @@ def test_asof_join_carries_nullable_int_columns():
     assert tbl.schema.field("event_id").type == pa.int64()
     df = tbl.to_pandas().sort_values("ts").reset_index(drop=True)
     assert df["event_id"].isna().sum() == 1 and len(df) == 4
+
+
+def test_asof_join_null_keys_and_null_ts_survive():
+    """r4 ADVICE (low): a null join key (or null left timestamp) must
+    not crash the lexsort — left-join semantics keep the row with NaT;
+    null-key/null-ts right rows are excluded from matching."""
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+
+    def ts(h):
+        return (base + np.timedelta64(h, "h")).astype("datetime64[us]").item()
+
+    left = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "k": pa.array(["a", None, "a", "b"]),
+        "ts": pa.array([ts(2), ts(2), None, ts(2)], type=pa.timestamp("us")),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None, "b"]),
+        "ts": pa.array([ts(1), ts(0), None], type=pa.timestamp("us")),
+    }))
+    got = asof_join_latest(left, right, key="k", ts_col="ts",
+                           strict=True, num_partitions=4).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == 4
+    # event 1: k=a matches right ts(1); 2: null key → NaT; 3: null left
+    # ts → NaT; 4: k=b has only a null-ts right row → NaT
+    assert pd.Timestamp(got.loc[0, "asof_ts"]) == pd.Timestamp(ts(1))
+    assert got.loc[1:, "asof_ts"].isna().all()

@@ -313,3 +313,32 @@ def test_candidate_string_dedup_parity_mode(model_dir):
     # both ids spelled "alpha town" never co-survive in parity mode
     per_q = got_parity.groupby("query_id")["candidate"].nunique()
     assert (got_parity.groupby("query_id").size() == per_q).all()
+
+
+def test_bucketize_hash_backend_version_guard():
+    """r4 ADVICE (low) / r4 VERDICT #5: the hash backend is resolved
+    once on the driver and shipped through the closure; a worker whose
+    polars version differs must fail loudly (silently splitting hash
+    buckets loses cross-bucket matches in every bucketized groupby)."""
+    from deezymatch_ray.stages.ranking import (
+        _hash_col_u64,
+        _resolve_hash_backend,
+        _stable_bucket,
+    )
+
+    col = pa.chunked_array([pa.array(["x", "y", "z"])])
+    backend = _resolve_hash_backend()
+    assert backend[0] == "polars"  # sandbox has polars
+    ok = _hash_col_u64(col, backend)
+    assert ok.dtype == np.uint64 and len(ok) == 3
+    with pytest.raises(RuntimeError, match="mismatch.*polars"):
+        _hash_col_u64(col, ("polars", "0.0.0-not-installed"))
+    # pandas fallback still produces stable hashes without polars
+    pd_hash = _hash_col_u64(col, ("pandas", None))
+    np.testing.assert_array_equal(pd_hash, _hash_col_u64(col, ("pandas", None)))
+    # the shipped decision makes buckets process-stable end to end
+    t = pa.table({"k": ["x", "y", "z"]})
+    np.testing.assert_array_equal(
+        _stable_bucket(t, ["k"], 16, backend),
+        _stable_bucket(t, ["k"], 16, backend),
+    )
