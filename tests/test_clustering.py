@@ -91,3 +91,35 @@ def test_non_convergence_raises_instead_of_splitting():
         connected_components_distributed(
             _edges_ds(pairs), max_rounds=1, num_partitions=8
         )
+
+
+def test_giant_star_component_salted_and_exact():
+    """r4 VERDICT #2 (the last named scale-killer): one ~10⁵-edge star
+    component must flow through the distributed path with its hot node
+    AND its collapsing hot label salted (bounded per-partition rows ≈
+    max_hot/P instead of the component size), and the assignment must
+    equal driver union-find exactly. A chain hangs off one leaf so the
+    round count still exercises pointer doubling."""
+    n = 100_000
+    center = f"n{n // 2:07d}"  # center is NOT the min id → labels move
+    ids = [f"n{i:07d}" for i in range(n)]
+    pairs = [(center, x) for x in ids if x != center]
+    chain = [f"c{j:03d}" for j in range(30)]
+    pairs += list(zip(chain, chain[1:])) + [(ids[0], chain[0])]
+    want = connected_components_driver(pairs)
+    assert len(set(want.values())) == 1  # one giant component
+
+    stats: dict = {}
+    got = connected_components_distributed(
+        _edges_ds(pairs), num_partitions=8, hot_key_threshold=2_000,
+        stats=stats,
+    ).to_pandas()
+    # the static degree census caught the hub; the per-round label
+    # census caught the collapsing component label at least once
+    assert stats["hot_nodes"] >= 1
+    assert stats["hot_label_rounds"] >= 1
+    assert stats["max_hot_label_count"] >= n - 1
+    assert stats["salt_width"] > 1
+    got_map = dict(zip(got.doc_id, got.cluster_id))
+    assert len(got_map) == len(want)
+    assert got_map == want
