@@ -450,6 +450,32 @@ def link_documents(
     # for edges; the join-text map for nodes). The node materialization
     # makes the r3-VERDICT-#5 node-count gate metadata-free and is the
     # same single execution either CC path pays anyway.
+    import os as _os
+
+    if _os.environ.get("DMR_CC_LAZY_GATE"):  # r5 A/B toggle: r3-style gate
+        edges = edges.materialize()
+        n_edges = edges.count()
+        limit = cfg.execution.cluster_driver_edge_limit
+        nodes = jt.select_columns(["doc_id"])
+        use_distributed = (
+            distributed_cc
+            if distributed_cc is not None
+            else n_edges > limit or docs.count() > limit
+        )
+        if use_distributed:
+            return connected_components_distributed(
+                edges, nodes=nodes, max_rounds=cfg.execution.cluster_max_rounds
+            )
+        edge_list = [(r["src"], r["dst"]) for r in edges.take_all()]
+        node_list = [r["doc_id"] for r in nodes.take_all()]
+        assign = connected_components_driver(edge_list, node_list)
+        items = sorted(assign.items())
+        return ray.data.from_arrow(
+            pa.table({
+                "doc_id": pa.array([k for k, _ in items], type=pa.string()),
+                "cluster_id": pa.array([v for _, v in items], type=pa.string()),
+            })
+        )
     nodes = jt.select_columns(["doc_id"]).materialize()
     edges = edges.materialize()
     n_edges = edges.count()
