@@ -217,6 +217,22 @@ def bench_pricing() -> dict:
     return {"sec": time.time() - t0, "rows": n}
 
 
+def _bench_query(qname: str):
+    """Bench an oracle-surface query callable by name (r4 VERDICT #4:
+    the incremental dedup family, ASOF join and sessionization had no
+    bench entry, so perf regressions there were invisible)."""
+
+    def run() -> dict:
+        from deezymatch_ray.pipelines import analysis as A
+
+        fn = getattr(A, f"q_{qname}")
+        t0 = time.time()
+        n = fn(SF_DIR).count()
+        return {"sec": time.time() - t0, "rows": n}
+
+    return run
+
+
 BENCHES = {
     "pair_scoring": bench_pair_scoring,
     "linkage": bench_linkage,
@@ -224,6 +240,10 @@ BENCHES = {
     "minhash_near_dup": bench_minhash,
     "ann_topk": bench_ann,
     "pricing_summary": bench_pricing,
+    "exact_dedup_incremental": _bench_query("exact_dedup_incremental"),
+    "minhash_dedup_incremental": _bench_query("minhash_dedup_incremental"),
+    "events_asof_purchase": _bench_query("events_asof_purchase"),
+    "user_sessions": _bench_query("user_sessions"),
 }
 
 

@@ -450,32 +450,12 @@ def link_documents(
     # for edges; the join-text map for nodes). The node materialization
     # makes the r3-VERDICT-#5 node-count gate metadata-free and is the
     # same single execution either CC path pays anyway.
-    import os as _os
-
-    if _os.environ.get("DMR_CC_LAZY_GATE"):  # r5 A/B toggle: r3-style gate
-        edges = edges.materialize()
-        n_edges = edges.count()
-        limit = cfg.execution.cluster_driver_edge_limit
-        nodes = jt.select_columns(["doc_id"])
-        use_distributed = (
-            distributed_cc
-            if distributed_cc is not None
-            else n_edges > limit or docs.count() > limit
-        )
-        if use_distributed:
-            return connected_components_distributed(
-                edges, nodes=nodes, max_rounds=cfg.execution.cluster_max_rounds
-            )
-        edge_list = [(r["src"], r["dst"]) for r in edges.take_all()]
-        node_list = [r["doc_id"] for r in nodes.take_all()]
-        assign = connected_components_driver(edge_list, node_list)
-        items = sorted(assign.items())
-        return ray.data.from_arrow(
-            pa.table({
-                "doc_id": pa.array([k for k, _ in items], type=pa.string()),
-                "cluster_id": pa.array([v for _, v in items], type=pa.string()),
-            })
-        )
+    # r5 interleaved A/B (5 clean pairs, fresh processes, BASELINE.md
+    # §Linkage-gate A/B) measured this materialize against the r3-style
+    # lazy docs.count() gate: within-pair deltas −0.0/+2.1/−5.3/+4.6/
+    # +1.1 s while identical code swung 14.5→31.1 s — the r4 recorded
+    # "regression" was VM drift, not the gate. Keeping the materialize:
+    # single execution, no re-run of the caller's pipeline.
     nodes = jt.select_columns(["doc_id"]).materialize()
     edges = edges.materialize()
     n_edges = edges.count()
