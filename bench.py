@@ -104,9 +104,14 @@ def bench_pair_scoring() -> dict:
     # scaling. Tasks run on Ray's pre-started warm workers.
     # GRAFT_SCORER_POOL=actor switches to the actor-pool variant for
     # A/B measurement (see BASELINE.md round 3).
+    # emit=(): consumers of a labeled-pair scoring job read scores, not
+    # the input strings back — dropping them halves the post-score
+    # block payload (r4 VERDICT #7). GRAFT_SCORER_EMIT=carry restores
+    # the pre-r5 carry-everything behavior for A/B.
+    emit = None if os.environ.get("GRAFT_SCORER_EMIT") == "carry" else ()
     kwargs = dict(
         weights_ref=weights_ref, vocab_ref=vocab_ref, meta=meta,
-        s1_col="s1", s2_col="s2", with_classical=True,
+        s1_col="s1", s2_col="s2", with_classical=True, emit=emit,
         preprocessing=cfg.preprocessing, tokenization=cfg.tokenization,
     )
     if os.environ.get("GRAFT_SCORER_POOL", "task") == "actor":

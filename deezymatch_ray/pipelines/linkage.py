@@ -427,6 +427,9 @@ def link_documents(
             PairScorer,
             weights_ref=weights_ref, vocab_ref=vocab_ref, meta=meta,
             s1_col="query", s2_col="candidate", with_classical=True,
+            # ids + scores only: the edge filter never reads the pair
+            # strings, so they stop traveling through the scored stream
+            emit=("query_id", "candidate_id"),
             preprocessing=cfg.preprocessing, tokenization=cfg.tokenization,
         ),
         batch_format="pyarrow",

@@ -88,29 +88,37 @@ class Embedder(_ModelStage):
 
 class PairScorer(_ModelStage):
     """(…, <s1_col>, <s2_col>) → append ``pred_score`` (model p1),
-    ``lev_dist`` (int64) and ``jw_sim`` (float64)."""
+    ``lev_dist`` (int64) and ``jw_sim`` (float64).
+
+    ``emit``: optional tuple of input columns to KEEP in the output
+    (score columns are always appended). Default None keeps everything
+    — but a downstream that only needs ids + scores should pass
+    ``emit=("id_a", "id_b")`` (or ``()``) so the pair strings stop
+    traveling through every post-score block (r4 VERDICT #7: carried
+    strings inflate the scored stream's shuffle/transfer payload)."""
 
     def __init__(self, weights_ref, vocab_ref, meta, s1_col="s1", s2_col="s2",
-                 with_classical=True, **kw):
+                 with_classical=True, emit=None, **kw):
         super().__init__(weights_ref, vocab_ref, meta, **kw)
         self.s1_col = s1_col
         self.s2_col = s2_col
         self.with_classical = with_classical
+        self.emit = list(emit) if emit is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         x1, l1, v1 = self._encode(batch[self.s1_col])
         x2, l2, v2 = self._encode(batch[self.s2_col])
         p1 = self.model.match_probability(x1, l1, x2, l2)
         p1 = np.where(v1 & v2, p1, np.nan)
-        batch = batch.append_column("pred_score", pa.array(p1.astype(np.float32)))
+        keep = self.emit if self.emit is not None else batch.column_names
+        cols = {c: batch[c] for c in keep}
+        cols["pred_score"] = pa.array(p1.astype(np.float32))
         if self.with_classical:
             s1 = batch[self.s1_col].to_pylist()
             s2 = batch[self.s2_col].to_pylist()
-            batch = batch.append_column(
-                "lev_dist", pa.array(levenshtein_batch(s1, s2).astype(np.int64))
-            )
-            batch = batch.append_column("jw_sim", pa.array(jaro_winkler_batch(s1, s2)))
-        return batch
+            cols["lev_dist"] = pa.array(levenshtein_batch(s1, s2).astype(np.int64))
+            cols["jw_sim"] = pa.array(jaro_winkler_batch(s1, s2))
+        return pa.table(cols)
 
 
 _TASK_STAGE_CACHE: dict[str, object] = {}
