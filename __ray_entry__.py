@@ -58,9 +58,8 @@ def _q_rank_part_names(sf_dir: str) -> Any:
     )
     from deezymatch_ray.stages.ranking import rank_global
 
-    weights_ref, vocab_ref, meta, cfg = load_model_artifacts(
-        get_or_train_default_model()
-    )
+    model_dir = get_or_train_default_model()
+    weights_ref, vocab_ref, meta, cfg = load_model_artifacts(model_dir)
     cfg = cfg.replace(
         ranking=dataclasses.replace(
             cfg.ranking, ranking_metric="faiss", selection_threshold=1e9,
@@ -103,6 +102,40 @@ def _q_rank_part_names(sf_dir: str) -> Any:
     # every query string is itself a candidate, so the rank-1 match is
     # the zero-distance self-match fixpoint
     assert (top["faiss_dist"] <= 1e-6).all(), "rank-1 not the self-match"
+    # value pin (r4 VERDICT #8): recompute the expected top-k with the
+    # sequential brute-force NumPy oracle over the SAME frozen npz
+    # weights and assert exact pair-set equality plus distance
+    # agreement — the full exact self-check a SQL oracle can't provide
+    # for GRU scores. Candidate embed is a one-pass NumPy scan of the
+    # part table; cheap at driver-check scale.
+    import os as _os
+
+    import numpy as _np
+
+    from deezymatch_ray.model.chargru import CharGRU, load_weights
+    from deezymatch_ray.model.vocab import load_vocab
+    from deezymatch_ray.pipelines.oracle import oracle_rank
+
+    weights, wmeta = load_weights(_os.path.join(model_dir, "model.npz"))
+    model = CharGRU(weights, num_layers=wmeta["num_layers"],
+                    pooling_mode=wmeta["pooling_mode"])
+    tok2index = load_vocab(_os.path.join(model_dir, "vocab.parquet"))
+    qp = queries.to_pandas()
+    cp = cands.to_pandas()
+    expected = oracle_rank(
+        list(zip(qp["id"], qp["name"])), list(zip(cp["id"], cp["name"])),
+        model, tok2index, cfg,
+    )
+    got_pairs = set(zip(df["query_id"], df["candidate_id"]))
+    want_pairs = set(zip(expected["query_id"], expected["candidate_id"]))
+    assert got_pairs == want_pairs, (
+        f"ranked pair set diverges from the NumPy oracle: "
+        f"{len(got_pairs - want_pairs)} extra, {len(want_pairs - got_pairs)} missing"
+    )
+    gd = df.set_index(["query_id", "candidate_id"])["faiss_dist"].sort_index()
+    wd = expected.set_index(["query_id", "candidate_id"])["faiss_dist"].sort_index()
+    assert _np.allclose(gd.to_numpy(), wd.to_numpy(), atol=1e-5), \
+        "ranked distances diverge from the NumPy oracle"
     return df
 
 
