@@ -217,9 +217,12 @@ def connected_components_distributed(
 
     # static degree census: hub nodes (degree ≥ threshold) get their
     # edge⋈label join salted every round. Salting needs ≥2 partitions
-    # to spread anything.
+    # to spread anything; a graph with fewer total rows than the
+    # threshold can't have a hot key, so small graphs skip the census
+    # aggregates entirely.
+    n_directed = directed.count()  # metadata-free: materialized above
     hot_nodes: set = set()
-    if P > 1:
+    if P > 1 and n_directed >= hot_key_threshold:
         hot_nodes = set(_hot_keys(directed, "node", hot_key_threshold))
     if stats is not None:
         stats["hot_nodes"] = len(hot_nodes)
@@ -279,7 +282,7 @@ def connected_components_distributed(
         # collapses onto one value per component — census per round,
         # salt when any label crosses the threshold
         hot_labels: set = set()
-        if P > 1:
+        if P > 1 and n_lab >= hot_key_threshold:
             hl = _hot_keys(agg, "label", hot_key_threshold)
             hot_labels = set(hl)
             if stats is not None and hl:
