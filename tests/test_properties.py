@@ -129,3 +129,43 @@ def test_md5_minhash_family_properties(shingle_lists):
             assert (sig[i] == dup[0]).all()  # set semantics
         else:
             assert (sig[i] == np.iinfo(np.uint64).max).all()
+
+
+# ---- PNG codec properties (round 5: functions/png.py) ----
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    from deezymatch_ray.functions.png import decode_png, encode_png
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, c),
+                                              dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(px)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_resize_nearest_properties(h, w, oh, ow, seed):
+    """Output dims exact; every output pixel is SOME input pixel
+    (nearest-neighbor never invents values); identity resize is
+    exact."""
+    from deezymatch_ray.functions.png import resize_nearest
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3),
+                                              dtype=np.uint8)
+    out = resize_nearest(px, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    in_set = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in in_set for p in out.reshape(-1, 3))
+    np.testing.assert_array_equal(resize_nearest(px, w, h), px)
