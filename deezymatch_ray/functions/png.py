@@ -23,6 +23,11 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def is_png(data: bytes | None) -> bool:
+    """True when the payload starts with the 8-byte PNG signature."""
+    return bool(data) and data[:8] == _SIG
+
+
 def encode_png(pixels: np.ndarray) -> bytes:
     """uint8 array (h, w) | (h, w, 1|2|3|4) → PNG bytes (filter 0 rows,
     one zlib-deflated IDAT)."""
@@ -62,22 +67,29 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array (h, w, channels). Vectorized un-filtering
     per scanline (filters 0–4); only the Sub/Paeth within-row carry is
-    a Python loop over pixels-per-row bytes, bounded by width."""
+    a Python loop over pixels-per-row bytes, bounded by width.
+
+    Raises ONLY ``ValueError`` on malformed input — zlib/struct errors
+    from corrupt streams are wrapped, so callers can treat ValueError
+    as the complete decode-failure contract."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr = None
     idat = []
-    while pos + 8 <= len(data):
-        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
+    try:
+        while pos + 8 <= len(data):
+            (length,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+            body = data[pos + 8:pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+    except struct.error as e:
+        raise ValueError(f"corrupt PNG chunk structure: {e}") from e
     if ihdr is None or not idat:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
     w, h, depth, color_type, comp, filt, interlace = ihdr
@@ -89,7 +101,11 @@ def decode_png(data: bytes) -> np.ndarray:
         )
     c = _CHANNELS[color_type]
     stride = w * c
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG payload length mismatch")
     raw = raw.reshape(h, stride + 1)

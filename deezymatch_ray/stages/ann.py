@@ -23,7 +23,7 @@ import ray
 import ray.data
 
 
-def _to_matrix(col, dtype=np.float64) -> np.ndarray:
+def _to_matrix(col, dtype=np.float64, on_null: str = "raise") -> np.ndarray:
     """Vector column → [n, d] matrix without per-row Python.
 
     ``fixed_size_list`` (and uniform-length ``list``) columns flatten to
@@ -36,7 +36,12 @@ def _to_matrix(col, dtype=np.float64) -> np.ndarray:
     Both paths score at the requested ``dtype``'s native precision —
     the fallback previously truncated through float32, so the same
     logical vectors could land threshold-adjacent pairs differently
-    depending on physical layout (r4 ADVICE)."""
+    depending on physical layout (r4 ADVICE).
+
+    ``on_null``: "raise" (default) rejects null rows loudly — a NaN
+    row flowing into top-k selection would silently emit null-embedding
+    candidates as ranked matches and poison IVF centroid training;
+    "nan" returns NaN rows for callers that mask them explicitly."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
@@ -54,6 +59,12 @@ def _to_matrix(col, dtype=np.float64) -> np.ndarray:
         if d:
             flat = col.flatten().to_numpy(zero_copy_only=False)
             return flat.reshape(n, d).astype(dtype, copy=False)
+    if col.null_count and on_null == "raise":
+        raise ValueError(
+            f"embedding column has {col.null_count} null rows — a NaN "
+            "vector would silently rank as a match; filter null "
+            "embeddings upstream (or pass on_null='nan' and mask)"
+        )
     vals = col.to_pylist()
     dim = next((len(v) for v in vals if v is not None), 0)
     out = np.full((n, dim), np.nan, dtype=dtype)

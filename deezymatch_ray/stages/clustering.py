@@ -84,6 +84,17 @@ def _hot_keys(ds: ray.data.Dataset, key_col: str, threshold: int) -> dict:
     return {r[key_col]: r[cname] for r in rows}
 
 
+def _hot_mask(col, hot: set) -> np.ndarray:
+    """Vectorized membership of an Arrow column in the hot-key set —
+    pyarrow's C is_in kernel, no per-row Python boxing (this runs on
+    every batch of both sides of both joins when salting is active)."""
+    import pyarrow.compute as pc
+
+    return pc.is_in(col, value_set=pa.array(sorted(hot))).to_numpy(
+        zero_copy_only=False
+    )
+
+
 def _salt_fact(ds: ray.data.Dataset, key_col: str, hot: set, R: int,
                col: str = "__salt") -> ray.data.Dataset:
     """Round-robin salt on hot-key rows (cold rows salt 0): spreads a
@@ -92,7 +103,7 @@ def _salt_fact(ds: ray.data.Dataset, key_col: str, hot: set, R: int,
     def fn(b: pa.Table) -> pa.Table:
         n = b.num_rows
         salts = np.zeros(n, dtype=np.int32)
-        m = b[key_col].to_pandas().isin(hot).to_numpy()
+        m = _hot_mask(b[key_col], hot)
         if m.any():
             salts[m] = np.arange(int(m.sum()), dtype=np.int32) % R
         return b.append_column(col, pa.array(salts))
@@ -107,7 +118,7 @@ def _salt_dim(ds: ray.data.Dataset, key_col: str, hot: set, R: int,
 
     def fn(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        m = b[key_col].to_pandas().isin(hot).to_numpy()
+        m = _hot_mask(b[key_col], hot)
         if not m.any():
             return b.append_column(col, pa.array(np.zeros(n, dtype=np.int32)))
         cold = np.flatnonzero(~m)
@@ -125,11 +136,17 @@ def _salt_dim(ds: ray.data.Dataset, key_col: str, hot: set, R: int,
 def _partial_min(node_col: str, val_cols: list[str]):
     """Block-local (node, min(vals)) combiner — pyarrow's C group_by.
     Bounds any hot node's reduce-side rows at #blocks instead of its
-    degree, making the downstream groupby skew-safe."""
+    degree, making the downstream groupby skew-safe. Output columns are
+    selected BY NAME (``{col}_min`` per the pyarrow naming contract) —
+    positional renames would silently swap columns on a pyarrow release
+    that orders aggregate output differently."""
 
     def fn(b: pa.Table) -> pa.Table:
         g = b.group_by(node_col).aggregate([(c, "min") for c in val_cols])
-        return g.rename_columns([node_col] + val_cols)
+        return pa.table(
+            {node_col: g[node_col],
+             **{c: g[f"{c}_min"] for c in val_cols}}
+        )
 
     return fn
 

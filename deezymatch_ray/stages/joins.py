@@ -109,7 +109,16 @@ def asof_join_latest(
         nulls_all = pc.fill_null(
             pc.or_(pc.is_null(t[key]), pc.is_null(t[ts_col])), True
         ).to_numpy(zero_copy_only=False)
-        keys_all = _np_col(t[key])
+        kcol = t[key]
+        if kcol.null_count and (
+            pa.types.is_integer(kcol.type) or pa.types.is_floating(kcol.type)
+        ):
+            # a null in a numeric key column would force to_numpy into
+            # float64 for EVERY row, colliding distinct int64 keys above
+            # 2**53; fill nulls (those rows are excluded from matching
+            # by nulls_all anyway) so valid keys keep exact dtype
+            kcol = pc.fill_null(kcol, pa.scalar(0).cast(kcol.type))
+        keys_all = _np_col(kcol)
         ts_all = _np_col(t[ts_col])
         lkeys, lts = keys_all[lmask], ts_all[lmask]
         lnull = nulls_all[lmask]

@@ -143,13 +143,20 @@ class MediaDecoder:
     def _decode(self, content: bytes | None, mime: str) -> np.ndarray | None:
         if not content:
             return None
-        if self.backend == "auto" and content[:8] == b"\x89PNG\r\n\x1a\n":
-            from deezymatch_ray.functions.png import decode_png
+        from deezymatch_ray.functions.png import decode_png, is_png
 
+        if self.backend == "auto" and is_png(content):
             try:
-                return _pixel_features(decode_png(content), self.dim)
+                f = _pixel_features(decode_png(content), self.dim)
             except ValueError:
                 return None  # corrupt/unsupported image → decode_ok False
+            if float(np.linalg.norm(f)) < 0.5:
+                # uniform-color image: the zero-mean pooling degenerates
+                # to the zero vector, which would score cosine 0 against
+                # everything (including an identical image). Digest
+                # features keep byte-identical images matching.
+                return _fake_features(content, self.dim)
+            return f
         return _fake_features(content, self.dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -196,13 +203,14 @@ class ImageResizer:
             from deezymatch_ray.functions.png import (
                 decode_png,
                 encode_png,
+                is_png,
                 resize_nearest,
             )
 
             contents = batch["content"].to_pylist()
             resized: list[bytes | None] = []
             for i, c in enumerate(contents):
-                if c and c[:8] == b"\x89PNG\r\n\x1a\n":
+                if is_png(c):
                     try:
                         px = resize_nearest(decode_png(c), int(ow[i]), int(oh[i]))
                         resized.append(encode_png(px))

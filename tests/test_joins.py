@@ -156,3 +156,30 @@ def test_asof_join_null_keys_and_null_ts_survive():
     # ts → NaT; 4: k=b has only a null-ts right row → NaT
     assert pd.Timestamp(got.loc[0, "asof_ts"]) == pd.Timestamp(ts(1))
     assert got.loc[1:, "asof_ts"].isna().all()
+
+
+def test_asof_join_big_int_keys_with_nulls_keep_precision():
+    """r5 review: a null in a numeric key column must not degrade the
+    whole key array to float64 — distinct int64 keys above 2**53 would
+    collide and swap their asof matches."""
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+
+    def ts(h):
+        return (base + np.timedelta64(h, "h")).astype("datetime64[us]").item()
+
+    k1, k2 = 2**53, 2**53 + 1  # float64-indistinguishable
+    left = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "k": pa.array([k1, k2, None], type=pa.int64()),
+        "ts": pa.array([ts(5), ts(5), ts(5)], type=pa.timestamp("us")),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([k1, k2], type=pa.int64()),
+        "ts": pa.array([ts(1), ts(2)], type=pa.timestamp("us")),
+    }))
+    got = asof_join_latest(left, right, key="k", ts_col="ts",
+                           strict=True, num_partitions=2).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    assert pd.Timestamp(got.loc[0, "asof_ts"]) == pd.Timestamp(ts(1))
+    assert pd.Timestamp(got.loc[1, "asof_ts"]) == pd.Timestamp(ts(2))
+    assert pd.isna(got.loc[2, "asof_ts"])

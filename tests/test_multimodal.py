@@ -243,3 +243,51 @@ def test_corrupt_png_flags_decode_not_ok():
     }, schema=MEDIA_SCHEMA)
     out = MediaDecoder(dim=8, backend="auto")(t)
     assert not out["decode_ok"].to_pylist()[0]
+
+
+def test_corrupt_idat_and_truncated_chunk_flag_decode_not_ok():
+    """r5 review: zlib/struct errors from corrupt streams must surface
+    as ValueError inside decode_png (decode_ok=False), never crash the
+    pipeline."""
+    from deezymatch_ray.functions.png import encode_png
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    corrupt_idat = good[:33] + good[33:].replace(b"IDAT", b"IDAT")[:8] + b"\xff" * 10
+    rows = [
+        good[:20],                     # truncated mid-IHDR-chunk
+        good.replace(b"\x78", b"\x00", 1),  # corrupt zlib header
+        corrupt_idat,                  # mangled IDAT body
+    ]
+    t = pa.table({
+        "media_ref": [f"m{i}" for i in range(len(rows))],
+        "mime": ["image/png"] * len(rows),
+        "width": pa.array([4] * len(rows), type=pa.int32()),
+        "height": pa.array([4] * len(rows), type=pa.int32()),
+        "duration_ms": pa.array([0] * len(rows), type=pa.int32()),
+        "content": pa.array(rows, type=pa.binary()),
+    }, schema=MEDIA_SCHEMA)
+    out = MediaDecoder(dim=8, backend="auto")(t)
+    assert not any(out["decode_ok"].to_pylist())
+    # resample path likewise survives corrupt payloads with nulls
+    res = ImageResizer(max_side=2, resample=True)(t)
+    assert all(v is None for v in res["resized_content"].to_pylist())
+
+
+def test_uniform_color_image_features_not_zero():
+    """r5 review: a solid-color image must not featurize to the zero
+    vector (cosine 0 against an identical image); the digest fallback
+    keeps byte-identical images matching at cosine 1."""
+    from deezymatch_ray.functions.png import encode_png
+
+    solid = encode_png(np.full((8, 8, 3), 77, dtype=np.uint8))
+    t = pa.table({
+        "media_ref": ["a", "b"], "mime": ["image/png"] * 2,
+        "width": pa.array([8, 8], type=pa.int32()),
+        "height": pa.array([8, 8], type=pa.int32()),
+        "duration_ms": pa.array([0, 0], type=pa.int32()),
+        "content": pa.array([solid, solid], type=pa.binary()),
+    }, schema=MEDIA_SCHEMA)
+    out = MediaDecoder(dim=16, backend="auto")(t)
+    f = np.stack(out["features"].to_pandas().to_numpy())
+    assert np.linalg.norm(f[0]) > 0.99
+    assert float(f[0] @ f[1]) > 0.999  # identical bytes → cosine 1
