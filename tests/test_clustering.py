@@ -123,3 +123,56 @@ def test_giant_star_component_salted_and_exact():
     got_map = dict(zip(got.doc_id, got.cluster_id))
     assert len(got_map) == len(want)
     assert got_map == want
+
+
+def test_salting_helpers_invariants():
+    """Unit pins for the skew machinery: census exactness, fact-salt
+    bounds, dim replication multiplicity, and salted-join equivalence
+    with the plain join."""
+    import pyarrow as pa
+
+    from deezymatch_ray.stages.clustering import (
+        _hot_keys,
+        _salt_dim,
+        _salt_fact,
+    )
+
+    R = 3
+    fact = ray.data.from_arrow(pa.table({
+        "k": pa.array(["h"] * 10 + ["c1", "c2", "c3"]),
+        "v": pa.array(list(range(13)), type=pa.int64()),
+    }))
+    dim = ray.data.from_arrow(pa.table({
+        "k": pa.array(["h", "c1", "c2", "c3"]),
+        "lab": pa.array(["H", "A", "B", "C"]),
+    }))
+    hot = _hot_keys(fact, "k", 5)
+    assert hot == {"h": 10}
+    assert _hot_keys(fact, "k", 11) == {}
+
+    sf = pa.concat_tables(
+        _salt_fact(fact, "k", set(hot), R).iter_batches(batch_format="pyarrow")
+    ).to_pandas()
+    assert len(sf) == 13
+    assert (sf.loc[sf["k"] != "h", "__salt"] == 0).all()
+    assert set(sf.loc[sf["k"] == "h", "__salt"]) == {0, 1, 2}
+
+    sd = pa.concat_tables(
+        _salt_dim(dim, "k", set(hot), R).iter_batches(batch_format="pyarrow")
+    ).to_pandas()
+    assert len(sd) == 3 + R  # cold rows once, hot row replicated R times
+    assert sorted(sd.loc[sd["k"] == "h", "__salt"]) == [0, 1, 2]
+    assert (sd.loc[sd["k"] != "h", "__salt"] == 0).all()
+
+    # salted join ≡ plain join (same (k, v, lab) rows)
+    plain = fact.join(dim, join_type="inner", num_partitions=2, on=("k",)
+                      ).to_pandas()
+    salted = _salt_fact(fact, "k", set(hot), R).join(
+        _salt_dim(dim, "k", set(hot), R), join_type="inner",
+        num_partitions=2, on=("k", "__salt"),
+    ).drop_columns(["__salt"]).to_pandas()
+    key = ["k", "v", "lab"]
+    assert (
+        salted[key].sort_values(key).reset_index(drop=True)
+        .equals(plain[key].sort_values(key).reset_index(drop=True))
+    )
