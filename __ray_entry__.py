@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (features are a codec stub; ref expansion,
         # store metadata and decode_ok are oracle-checked)
         "media_features": A.q_media_features,
+        "media_resize": A.q_media_resize,
         # model-based pipelines (rows-only checks)
         "rank_part_names": _q_rank_part_names,
         "link_clusters": _q_link_clusters,
@@ -410,10 +411,39 @@ def _media_features_sql() -> str:
     )
 
 
+def _media_resize_sql() -> str:
+    """DuckDB mirror of q_media_resize: mime and dims derive from
+    sha256 digest bytes exactly as make_media_table does (kind = byte0
+    % 3, w = 16 + byte1 % 64, h = 16 + byte2 % 64; audio has w = h =
+    0), and the aspect-fit rounding is FLOOR(x + 0.5) half-up on both
+    sides (IEEE-identical double math)."""
+    return (
+        "WITH r AS (SELECT 'media://img/d-' || CAST(doc_id AS VARCHAR) || '-0' "
+        "AS media_ref FROM documents WHERE doc_id % 3 = 0), "
+        "m AS (SELECT media_ref, "
+        "CAST(('0x' || substr(sha256('42:' || media_ref), 1, 2)) AS INT) % 3 AS kind, "
+        "16 + CAST(('0x' || substr(sha256('42:' || media_ref), 3, 2)) AS INT) % 64 AS w0, "
+        "16 + CAST(('0x' || substr(sha256('42:' || media_ref), 5, 2)) AS INT) % 64 AS h0 "
+        "FROM r), "
+        "d AS (SELECT media_ref, kind, "
+        "CASE WHEN kind = 1 THEN 0 ELSE w0 END AS w, "
+        "CASE WHEN kind = 1 THEN 0 ELSE h0 END AS h FROM m), "
+        "s AS (SELECT *, LEAST(1.0, 16.0 / GREATEST(GREATEST(w, h), 1)) AS sc FROM d) "
+        "SELECT media_ref, "
+        "CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' "
+        "ELSE 'video/mp4' END AS mime, "
+        "CASE WHEN kind = 0 THEN CAST(GREATEST(1, FLOOR(w * sc + 0.5)) AS BIGINT) "
+        "ELSE 0 END AS out_width, "
+        "CASE WHEN kind = 0 THEN CAST(GREATEST(1, FLOOR(h * sc + 0.5)) AS BIGINT) "
+        "ELSE 0 END AS out_height FROM s"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "link_clusters": _link_clusters_sql(),
         "media_features": _media_features_sql(),
+        "media_resize": _media_resize_sql(),
         "simhash": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
         "minhash_near_dup": _minhash_near_dup_sql(),

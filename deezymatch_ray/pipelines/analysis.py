@@ -491,15 +491,16 @@ def q_events_asof_purchase(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(gap, batch_format="pyarrow")
 
 
-def q_media_features(sf_dir: str) -> ray.data.Dataset:
-    """Multimodal plumbing over driver data: media refs from the
-    interleaved spans → deterministic fake media store → decode actor
-    pool → (media_ref, mime, decode_ok). Rows-only check (the codec is
-    a sandbox stub; see stages/multimodal.py)."""
+def _media_store(sf_dir: str) -> ray.data.Dataset:
+    """Media refs from the interleaved spans → deterministic media
+    store (real PNG payloads for images). Store rows derive from each
+    ref alone, so the table builds per batch — refs never materialize
+    on the driver (the round-1 plan collected every ref into a Python
+    list)."""
     import pyarrow.compute as _pc
 
     from deezymatch_ray.sources.spans import flat_docs_to_spans
-    from deezymatch_ray.stages.multimodal import decode_media, make_media_table
+    from deezymatch_ray.stages.multimodal import make_media_table
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         flat_docs_to_spans, batch_format="pyarrow"
@@ -513,15 +514,41 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
         m = v.filter(_pc.equal(v.field("kind"), "media"))
         return pa.table({"media_ref": m.field("media_ref")})
 
-    # media store rows derive deterministically from each ref alone, so
-    # the table builds per batch — refs never materialize on the driver
-    # (the round-1 plan collected every ref into a Python list)
-    media = docs.map_batches(refs, batch_format="pyarrow").map_batches(
+    return docs.map_batches(refs, batch_format="pyarrow").map_batches(
         lambda b: make_media_table(b["media_ref"].to_pylist(), seed=42),
         batch_format="pyarrow",
     )
-    out = decode_media(media, dim=32)
+
+
+def q_media_features(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal decode over driver data: media store → decode actor
+    pool → (media_ref, mime, decode_ok). PNG payloads decode real
+    pixels; audio/video remain digest-stubbed (stages/multimodal.py)."""
+    from deezymatch_ray.stages.multimodal import decode_media
+
+    out = decode_media(_media_store(sf_dir), dim=32)
     return out.select_columns(["media_ref", "mime", "decode_ok"])
+
+
+def q_media_resize(sf_dir: str) -> ray.data.Dataset:
+    """Resizer metadata math over the media store: aspect-preserving
+    fit into 16×16 for images, zeros for audio/video. Value-exact SQL
+    oracle: mime/width/height derive from sha256 digests and the
+    half-up rounding is FLOOR(x+0.5) on both sides."""
+    from deezymatch_ray.stages.multimodal import ImageResizer
+
+    media = _media_store(sf_dir)
+    out = media.map_batches(ImageResizer(max_side=16), batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_ref": batch["media_ref"],
+            "mime": batch["mime"],
+            "out_width": pc.cast(batch["out_width"], pa.int64()),
+            "out_height": pc.cast(batch["out_height"], pa.int64()),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
 
 
 def q_nation_balance(sf_dir: str) -> ray.data.Dataset:

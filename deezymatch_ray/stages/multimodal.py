@@ -195,8 +195,11 @@ class ImageResizer:
         mimes = batch["mime"].to_pylist()
         is_img = np.array([m.startswith("image/") for m in mimes])
         scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))
-        ow = np.where(is_img, np.maximum(1, np.round(w * scale)), 0).astype(np.int32)
-        oh = np.where(is_img, np.maximum(1, np.round(h * scale)), 0).astype(np.int32)
+        # floor(x+0.5) half-up rounding, NOT np.round: banker's rounding
+        # has no SQL equivalent, and this math is oracle-mirrored
+        # (FLOOR(w*scale+0.5) in DuckDB is bit-identical IEEE double)
+        ow = np.where(is_img, np.maximum(1, np.floor(w * scale + 0.5)), 0).astype(np.int32)
+        oh = np.where(is_img, np.maximum(1, np.floor(h * scale + 0.5)), 0).astype(np.int32)
         batch = batch.append_column("out_width", pa.array(ow))
         batch = batch.append_column("out_height", pa.array(oh))
         if self.resample:
